@@ -1,0 +1,133 @@
+"""Synthetic dataset generators exposing the same reader interfaces as the
+real raw readers, for tests / CPU-runnable end-to-end configs
+(BASELINE.json "small CPU-runnable split") and benchmarking.
+
+The reference readers' interfaces being mimicked:
+  * FBG  PDReader: pose_dict (key "SUBxx_on_walk_i" -> (T,17,3)), sensor_dict
+    (key "SUBxx_on" -> (101, n_trials, 3)), pose_label_dict ("SUBxx_on" ->
+    0..2), sensor_label_dict, metadata_dict
+    (train/data_processing/preprocess_fbg.py:7-149);
+  * FoG  pdfeReader: pose_dict ("SUBxx_i" -> (T,7,3)), sensor_dict
+    ("SUBxx_i" -> (~426,6)), labels_dict ("SUBxx" -> [label]*n)
+    (train/data_processing/preprocess_fog.py:6-208);
+  * WearGait 30 Hz per-subject streams: walkway (T,2), insole (T,13),
+    imu (T,24) (train/data_processing/preprocess_weargait.py:225-343).
+
+Class signal: each class shifts the stream mean and oscillation frequency so
+small models can genuinely learn (loss decreases, accuracy above chance) —
+used by the end-to-end tests (SURVEY.md §4(e)).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+
+def _signal(rng, t: int, c: int, label: int, strength: float = 1.0) -> np.ndarray:
+    base = rng.normal(0.0, 1.0, size=(t, c)).astype(np.float32)
+    phase = rng.uniform(0, 2 * np.pi)
+    freq = 0.05 * (1 + label)
+    wave = np.sin(2 * np.pi * freq * np.arange(t) + phase)[:, None]
+    return base + strength * (wave + 0.5 * label)
+
+
+@dataclasses.dataclass
+class SyntheticFoGReader:
+    """Matches the attribute surface of pdfeReader the loaders consume."""
+
+    pose_dict: Dict[str, np.ndarray]
+    sensor_dict: Dict[str, np.ndarray]
+    labels_dict: Dict[str, List[int]]
+
+
+def make_fog_reader(
+    n_subjects: int = 9,
+    segments: int = 4,
+    n_classes: int = 3,
+    pose_t: int = 101,
+    sensor_t: int = 426,
+    seed: int = 0,
+) -> SyntheticFoGReader:
+    rng = np.random.default_rng(seed)
+    pose_dict, sensor_dict, labels = {}, {}, {}
+    for s in range(n_subjects):
+        sid = f"SUB{s:02d}"
+        label = s % n_classes
+        labels[sid] = [label] * segments
+        for i in range(segments):
+            pose = _signal(rng, pose_t, 21, label).reshape(pose_t, 7, 3)
+            pose_dict[f"{sid}_{i}"] = pose
+            sensor_dict[f"{sid}_{i}"] = _signal(rng, sensor_t, 6, label)
+    return SyntheticFoGReader(pose_dict, sensor_dict, labels)
+
+
+@dataclasses.dataclass
+class SyntheticFBGReader:
+    """Matches the attribute surface of PDReader the loaders consume."""
+
+    pose_dict: Dict[str, np.ndarray]
+    sensor_dict: Dict[str, np.ndarray]
+    pose_label_dict: Dict[str, int]
+    sensor_label_dict: Dict[str, int]
+    metadata_dict: Dict[str, np.ndarray]
+
+
+def make_fbg_reader(
+    n_subjects: int = 9,
+    n_classes: int = 3,
+    walks: int = 3,
+    trials: int = 4,
+    pose_t: int = 101,
+    grf_t: int = 101,
+    seed: int = 0,
+) -> SyntheticFBGReader:
+    rng = np.random.default_rng(seed)
+    pose_dict, sensor_dict = {}, {}
+    pose_labels, sensor_labels, meta = {}, {}, {}
+    for s in range(n_subjects):
+        sid = f"SUB{s:02d}_on"
+        label = s % n_classes
+        pose_labels[sid] = label
+        sensor_labels[sid] = label
+        meta[sid] = rng.uniform(0, 1, size=4).astype(np.float32)
+        for w in range(walks):
+            pose = _signal(rng, pose_t, 51, label).reshape(pose_t, 17, 3)
+            pose_dict[f"{sid}_walk_{w}"] = pose
+        # GRF: (101, n_trials, 3) 3-D arrays split per trial by the loader
+        sensor_dict[sid] = np.stack(
+            [_signal(rng, grf_t, 3, label) for _ in range(trials)], axis=1
+        )
+    return SyntheticFBGReader(pose_dict, sensor_dict, pose_labels, sensor_labels, meta)
+
+
+def make_weargait_streams(
+    n_pd: int = 12,
+    n_hc: int = 12,
+    t_frames: int = 400,
+    seed: int = 0,
+) -> Tuple[Dict[str, Dict[str, np.ndarray]], List[str], List[str]]:
+    """Per-subject {walkway (T,2), insole (T,13), imu (T,24)} streams with a
+    PD-vs-HC separable signal; NaNs sprinkled into insole/imu to exercise the
+    NaN guards of the pipeline (reference dataloader_weargait.py:212-227)."""
+    rng = np.random.default_rng(seed)
+    streams = {}
+    pd_ids = [f"PD{i:03d}" for i in range(n_pd)]
+    hc_ids = [f"HC{i:03d}" for i in range(n_hc)]
+    for sid in pd_ids + hc_ids:
+        label = 1 if sid.startswith("PD") else 0
+        t = t_frames + int(rng.integers(-50, 50))
+        sub = {
+            "walkway": _signal(rng, t, 2, label, strength=0.8),
+            "insole": _signal(rng, t, 13, label, strength=0.8),
+            "imu": _signal(rng, t, 24, label, strength=0.8),
+        }
+        # sprinkle NaNs (~0.5%) into insole/imu like real sensor dropouts
+        for m in ("insole", "imu"):
+            mask = rng.uniform(size=sub[m].shape) < 0.005
+            sub[m] = sub[m].copy()
+            sub[m][mask] = np.nan
+        streams[sid] = sub
+    return streams, pd_ids, hc_ids

@@ -1,0 +1,318 @@
+"""Jit-compiled train / eval steps for N-stream multitask models.
+
+One step function covers every mode of the reference drivers:
+
+* loss selection (ce / class_wt / ldam / gcl) is static config; the per-fold
+  class statistics (margins, weights, DRW schedule) are *array operands* so
+  folds and DRW epochs reuse one compiled step
+  (vs. reference train/utilities.py:155-202 rebuilding torch loss modules);
+* multitask weighting runs in-graph via gaitpd.learning.mtl (the reference's
+  CAGrad does two-to-three full backwards + a scipy solve on the host per
+  step, train/fbg_fog_train.py:146-152, weargait_train.py:187-248);
+* the relaxed-input modality mask is a traced (K,) bool operand: zero-fill
+  disabled streams and ensemble only enabled heads, so all 7 WearGait subsets
+  (weargait_train.py:49-57,355-433) share one compiled eval.
+
+Batches carry a ``valid`` mask so static-shape padded batches are exact.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from gaitpd.learning import losses as L
+from gaitpd.learning.mtl import FlatPartition, mtl_grads
+
+
+class TrainState(struct.PyTreeNode):
+    params: Any
+    opt_state: Any
+    mtl_state: Any
+    epoch: jnp.ndarray  # scalar int32, drives the DRW schedule in-graph
+
+
+@dataclasses.dataclass(frozen=True)
+class StepSettings:
+    """Static (trace-time) configuration of a step."""
+
+    n_streams: int
+    wm: str = "gcl"  # ce | class_wt | ldam | gcl
+    synchronized: bool = False
+    ldam_s: float = 30.0
+    gcl_m: float = 0.2
+    gcl_s: float = 25.0
+    noise_mul: float = 0.0
+    drw_warmup: int = 0
+    consistency_lambda: float = 0.0  # >0 adds symmetric-KL in sync gcl mode
+    private_grads: str = "sum"  # see gaitpd.learning.mtl.mtl_grads
+    loss_reduction: str = "mean"  # combined scalar = mean of branch losses
+
+
+def branch_loss(
+    settings: StepSettings,
+    logits: jnp.ndarray,
+    labels: jnp.ndarray,
+    ctx: Dict[str, jnp.ndarray],
+    rng: jax.Array,
+    valid: Optional[jnp.ndarray],
+) -> jnp.ndarray:
+    """One modality's classification loss (reference
+    train/fbg_fog_train.py:97-144, weargait_train.py:111-130)."""
+    if settings.wm == "ce":
+        return L.cross_entropy(logits, labels, None, valid)
+    if settings.wm == "class_wt":
+        return L.cross_entropy(logits, labels, ctx["cls_w"], valid)
+    if settings.wm == "ldam":
+        return L.ldam_loss(
+            logits, labels, ctx["ldam_m"], s=settings.ldam_s, weight=ctx["cls_w"], valid=valid
+        )
+    if settings.wm == "gcl":
+        return L.gcl_loss(
+            logits,
+            labels,
+            ctx["gcl_m"],
+            rng,
+            m=settings.gcl_m,
+            s=settings.gcl_s,
+            noise_mul=settings.noise_mul,
+            weight=ctx["drw_w"],
+            valid=valid,
+        )
+    raise ValueError(settings.wm)
+
+
+def make_loss_ctx(
+    settings: StepSettings, counts: Sequence[Sequence[int]], ldam_max_m: float = 0.5
+) -> Tuple[Dict[str, jnp.ndarray], ...]:
+    """Per-stream loss-context arrays from training class counts.
+
+    The DRW weight slot starts as ones; the step swaps in the inverse-
+    frequency weights once state.epoch >= drw_warmup (in-graph analogue of
+    reference train/utilities.py:197-202)."""
+    out = []
+    for c in counts:
+        out.append(
+            {
+                "cls_w": L.inv_freq_weights(c),
+                "ldam_m": L.ldam_margins(c, max_m=ldam_max_m),
+                "gcl_m": L.gcl_margins(c),
+                "drw_base": L.inv_freq_weights(c),
+            }
+        )
+    return tuple(out)
+
+
+def _resolve_drw(settings: StepSettings, ctx, epoch):
+    """Apply the DRW schedule: ones before warmup, inv-freq after."""
+    resolved = []
+    for c in ctx:
+        use_w = epoch >= settings.drw_warmup
+        drw = jnp.where(use_w, c["drw_base"], jnp.ones_like(c["drw_base"]))
+        resolved.append({**c, "drw_w": drw})
+    return tuple(resolved)
+
+
+def make_multitask_loss_fn(
+    apply_fn: Callable, settings: StepSettings
+) -> Callable:
+    """loss_fn(params, xs, ys, valid, ctx, rng, epoch) -> ((K,) losses, logits)."""
+
+    def loss_fn(params, xs, ys, valid, ctx, rng, epoch):
+        logits = apply_fn({"params": params["params"]}, *xs)
+        if not isinstance(logits, (tuple, list)):
+            logits = (logits,)
+        ctx_r = _resolve_drw(settings, ctx, epoch)
+        rngs = jax.random.split(rng, settings.n_streams)
+        ls = [
+            branch_loss(settings, logits[k], ys[k], ctx_r[k], rngs[k], valid)
+            for k in range(settings.n_streams)
+        ]
+        if (
+            settings.synchronized
+            and settings.consistency_lambda > 0
+            and settings.n_streams == 2
+            and settings.wm == "gcl"
+        ):
+            # symmetric-KL prediction consistency, added half to each branch
+            # (reference train/fbg_fog_train.py:80-89,121-124)
+            cons = L.symmetric_kl_consistency(logits[0], logits[1], valid)
+            lam = settings.consistency_lambda
+            ls = [l + 0.5 * lam * cons for l in ls]
+        return jnp.stack(ls), tuple(logits)
+
+    return loss_fn
+
+
+def _batch_metrics(logits, ys, valid, losses):
+    """Per-stream correct counts + batch sizes (reference accuracy
+    accounting: fbg_fog_train.py:154-156, weargait_train.py:312-317)."""
+    v = valid.astype(jnp.float32)
+    n = jnp.sum(v)
+    corr = [
+        jnp.sum((jnp.argmax(lg, axis=-1) == y) * v) for lg, y in zip(logits, ys)
+    ]
+    return {
+        "losses": losses,
+        "correct": jnp.stack(corr),
+        "n": n,
+    }
+
+
+def make_train_step(
+    apply_fn: Callable,
+    tx,
+    settings: StepSettings,
+    mtl_method,
+    partition: Optional[FlatPartition],
+):
+    """Build the jittable multitask train step.
+
+    When ``mtl_method`` is None the combined scalar is the plain mean of the
+    branch losses (reference non-CAGrad paths: fbg_fog_train.py:151,
+    weargait_train.py:244-247). Otherwise gradients come from
+    gaitpd.learning.mtl.mtl_grads.
+    """
+    loss_fn = make_multitask_loss_fn(apply_fn, settings)
+
+    def train_step(state: TrainState, batch, rng, ctx):
+        xs, ys, valid = batch["xs"], batch["ys"], batch["valid"]
+        if mtl_method is None:
+            def scalar_loss(params):
+                ls, logits = loss_fn(params, xs, ys, valid, ctx, rng, state.epoch)
+                return jnp.mean(ls), (ls, logits)
+
+            grads, (ls, logits) = jax.grad(scalar_loss, has_aux=True)(state.params)
+            new_mtl_state = state.mtl_state
+        else:
+            grads, ls, logits, new_mtl_state, _info = mtl_grads(
+                mtl_method,
+                lambda p, *a: loss_fn(p, *a),
+                state.params,
+                partition,
+                state.mtl_state,
+                rng,
+                xs,
+                ys,
+                valid,
+                ctx,
+                rng,
+                state.epoch,
+                private_grads=settings.private_grads,
+            )
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        metrics = _batch_metrics(logits, ys, valid, ls)
+        return (
+            state.replace(
+                params=new_params, opt_state=new_opt_state, mtl_state=new_mtl_state
+            ),
+            metrics,
+        )
+
+    return train_step
+
+
+def make_eval_step(apply_fn: Callable, settings: StepSettings):
+    """Masked relaxed-input eval step.
+
+    mask: (K,) bool operand. Disabled streams are zero-filled before the
+    forward pass (the model still runs all branches, shape-stable by design —
+    reference weargait_train.py:355-382) and excluded from the softmax
+    ensemble (weargait_train.py:397-415).
+    Returns logits, per-stream correct counts, ensemble correct count, n.
+    """
+
+    def eval_step(params, batch, ctx, rng, epoch, mask):
+        xs = tuple(
+            jnp.where(mask[k], x, jnp.zeros_like(x)) for k, x in enumerate(batch["xs"])
+        )
+        ys, valid = batch["ys"], batch["valid"]
+        logits = apply_fn({"params": params["params"]}, *xs)
+        if not isinstance(logits, (tuple, list)):
+            logits = (logits,)
+        ctx_r = _resolve_drw(settings, ctx, epoch)
+        rngs = jax.random.split(rng, settings.n_streams)
+        ls = jnp.stack(
+            [
+                branch_loss(settings, logits[k], ys[k], ctx_r[k], rngs[k], valid)
+                for k in range(settings.n_streams)
+            ]
+        )
+        v = valid.astype(jnp.float32)
+        corr = jnp.stack(
+            [jnp.sum((jnp.argmax(lg, -1) == y) * v) for lg, y in zip(logits, ys)]
+        )
+        # masked softmax ensemble over enabled heads
+        probs = jnp.stack([jax.nn.softmax(lg, axis=-1) for lg in logits])  # (K,B,C)
+        mk = mask.astype(probs.dtype)[:, None, None]
+        p_ens = jnp.sum(probs * mk, 0) / jnp.maximum(jnp.sum(mk), 1.0)
+        pred_ens = jnp.argmax(p_ens, -1)
+        ens_correct = jnp.sum((pred_ens == ys[0]) * v)
+        preds = jnp.stack([jnp.argmax(lg, -1) for lg in logits])
+        return {
+            "losses": ls,
+            "correct": corr,
+            "ens_correct": ens_correct,
+            "n": jnp.sum(v),
+            "preds": preds,
+            "pred_ens": pred_ens,
+            "logits": jnp.stack(logits),
+        }
+
+    return eval_step
+
+
+def make_single_train_step(apply_fn: Callable, tx, settings: StepSettings):
+    """Single-modality training step (reference fbg_fog single-branch models,
+    utilities.py:35-56, and weargait --single_mod path, weargait_train.py:273-285)."""
+
+    def train_step(state: TrainState, batch, rng, ctx):
+        x, y, valid = batch["x"], batch["y"], batch["valid"]
+
+        def scalar_loss(params):
+            logits = apply_fn({"params": params["params"]}, x)
+            ctx_r = _resolve_drw(settings, (ctx,), state.epoch)[0]
+            loss = branch_loss(settings, logits, y, ctx_r, rng, valid)
+            return loss, logits
+
+        (loss, logits), grads = jax.value_and_grad(scalar_loss, has_aux=True)(
+            state.params
+        )
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        v = valid.astype(jnp.float32)
+        metrics = {
+            "losses": loss[None],
+            "correct": jnp.sum((jnp.argmax(logits, -1) == y) * v)[None],
+            "n": jnp.sum(v),
+        }
+        return (
+            state.replace(params=new_params, opt_state=new_opt_state),
+            metrics,
+        )
+
+    return train_step
+
+
+def make_single_eval_step(apply_fn: Callable, settings: StepSettings):
+    def eval_step(params, batch, ctx, rng, epoch):
+        x, y, valid = batch["x"], batch["y"], batch["valid"]
+        logits = apply_fn({"params": params["params"]}, x)
+        ctx_r = _resolve_drw(settings, (ctx,), epoch)[0]
+        loss = branch_loss(settings, logits, y, ctx_r, rng, valid)
+        v = valid.astype(jnp.float32)
+        return {
+            "losses": loss[None],
+            "correct": jnp.sum((jnp.argmax(logits, -1) == y) * v)[None],
+            "n": jnp.sum(v),
+            "preds": jnp.argmax(logits, -1)[None],
+            "logits": logits[None],
+        }
+
+    return eval_step

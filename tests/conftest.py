@@ -1,0 +1,21 @@
+"""Test configuration: force an 8-virtual-device CPU platform so mesh /
+sharding tests run without TPUs (SURVEY.md §4 item (d))."""
+
+import os
+
+# NOTE: this image's sitecustomize pins JAX_PLATFORMS=axon (real TPU via a
+# tunnel); JAX_PLATFORM_NAME takes precedence and reliably selects CPU.
+os.environ["JAX_PLATFORM_NAME"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(0)
