@@ -1,0 +1,167 @@
+"""Command-line dispatcher.
+
+reference train/train.py:7-51 maps --mode to a driver script and re-execs it
+via runpy; here each mode is a normal function call on a typed args
+dataclass, with the same flag surface (--mode/--dataset/--modality/--wm/
+--alpha/--synchronized_loading/--seed/--baseline/--single_mod/--win_len ...).
+
+Usage examples (synthetic data, CPU-runnable):
+    python -m gaitpd.cli --mode fbg_fog --dataset fog --modality sensor \
+        --wm ce --synthetic --epochs 5
+    python -m gaitpd.cli --mode weargait --wm gcl --synthetic --epochs 3 \
+        --n_folds_cap 1
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import sys
+
+MODES = ("fbg_fog", "trip", "single", "weargait", "fusion", "deepav", "focal", "taca")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="gaitpd TPU-native training CLI")
+    p.add_argument("--mode", type=str, default="fbg_fog", choices=MODES)
+    p.add_argument("--dataset", type=str, default="fog")
+    p.add_argument("--modality", type=str, default="multimodal",
+                   choices=["skeleton", "sensor", "both", "multimodal", "all"])
+    p.add_argument("--consistency_lambda", type=float, default=1.0)
+    p.add_argument("--seed", type=int, default=43)
+    p.add_argument("--wm", type=str, default="gcl",
+                   choices=["ce", "class_wt", "ldam", "gcl"])
+    p.add_argument("--synchronized_loading", action="store_true")
+    p.add_argument("--alpha", type=float, default=None,
+                   help="CAGrad c (default 0.1 fbg_fog / 0.5 weargait); 0 disables")
+    p.add_argument("--max_norm", type=float, default=1.0)
+    p.add_argument("--ldam_s", type=float, default=30.0)
+    p.add_argument("--ldam_m", type=float, default=0.5)
+    p.add_argument("--gcl_m", type=float, default=0.2)
+    p.add_argument("--gcl_s", type=float, default=25.0)
+    p.add_argument("--noise_mul", type=float, default=0.0)
+    p.add_argument("--drw_warmup", type=int, default=0)
+    p.add_argument("--use_norm_and_cos", action="store_true")
+    p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--batch_size", type=int, default=None)
+    p.add_argument("--synthetic", action="store_true",
+                   help="use synthetic readers/streams (no raw data needed)")
+    p.add_argument("--n_folds_cap", type=int, default=None)
+    p.add_argument("--quiet", action="store_true")
+    # WearGait-specific (reference weargait_train.py:648-691)
+    p.add_argument("--n_folds", type=int, default=10)
+    p.add_argument("--test_per_class", type=int, default=8)
+    p.add_argument("--win_len", type=int, default=64)
+    p.add_argument("--hop_len", type=int, default=64)
+    p.add_argument("--patience", type=int, default=None)
+    p.add_argument("--num_classes", type=int, default=2)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--async_loading", action="store_true")
+    p.add_argument("--single_mod", type=str, default=None,
+                   choices=["walkway", "insole", "imu"])
+    p.add_argument("--proj_ch", type=int, default=16)
+    p.add_argument("--enc_out_ch", type=int, default=12)
+    p.add_argument("--backbone_dim", type=int, default=8)
+    p.add_argument("--shared_out_ch", type=int, default=16)
+    p.add_argument("--use_norm", action="store_true")
+    p.add_argument("--use_cosine", action="store_true")
+    p.add_argument("--baseline", type=str, default=None,
+                   choices=["early_fusion", "late_fusion", "shared_latent",
+                            "cheap_xattn", "deepav_lite", "focal", "taca"])
+    p.add_argument("--fusion_type", type=str, default="early",
+                   choices=["early", "late", "share_latent", "cheap_xattn"])
+    p.add_argument("--data_dir", type=str, default=None)
+    p.add_argument("--rebuild_cache", action="store_true")
+    return p
+
+
+def run_fbg_fog(ns: argparse.Namespace):
+    from gaitpd.train.fbg_fog_driver import FbgFogArgs, main
+
+    args = FbgFogArgs(
+        dataset=ns.dataset,
+        modality=ns.modality,
+        consistency_lambda=ns.consistency_lambda,
+        seed=ns.seed,
+        wm=ns.wm,
+        synchronized_loading=ns.synchronized_loading,
+        alpha=0.1 if ns.alpha is None else ns.alpha,
+        max_norm=ns.max_norm,
+        ldam_s=ns.ldam_s,
+        ldam_m=ns.ldam_m,
+        gcl_m=ns.gcl_m,
+        gcl_s=ns.gcl_s,
+        noise_mul=ns.noise_mul,
+        drw_warmup=ns.drw_warmup,
+        use_norm_and_cos=ns.use_norm_and_cos,
+        epochs=ns.epochs,
+        batch_size=ns.batch_size,
+        synthetic=ns.synthetic,
+        n_folds_cap=ns.n_folds_cap,
+        verbose=not ns.quiet,
+    )
+    return main(args)
+
+
+def run_weargait(ns: argparse.Namespace, baseline: str = None):
+    from gaitpd.train.weargait_driver import WearGaitArgs, run_cv
+
+    args = WearGaitArgs(
+        n_folds=ns.n_folds,
+        test_per_class=ns.test_per_class,
+        win_len=ns.win_len,
+        hop_len=ns.hop_len,
+        batch_size=ns.batch_size or 64,
+        epochs=ns.epochs or 50,
+        patience=ns.patience if ns.patience is not None else 50,
+        num_classes=ns.num_classes,
+        lr=ns.lr,
+        seed=ns.seed,
+        async_loading=ns.async_loading,
+        single_mod=ns.single_mod,
+        proj_ch=ns.proj_ch,
+        enc_out_ch=ns.enc_out_ch,
+        backbone_dim=ns.backbone_dim,
+        shared_out_ch=ns.shared_out_ch,
+        use_norm=ns.use_norm,
+        use_cosine=ns.use_cosine,
+        baseline=baseline if baseline is not None else ns.baseline,
+        wm=ns.wm if ns.wm in ("ce", "class_wt", "gcl") else "ce",
+        gcl_m=ns.gcl_m,
+        gcl_s=ns.gcl_s,
+        noise_mul=ns.noise_mul,
+        drw_warmup=ns.drw_warmup,
+        alpha=0.5 if ns.alpha is None else ns.alpha,
+        synthetic=ns.synthetic,
+        data_dir=ns.data_dir,
+        n_folds_cap=ns.n_folds_cap,
+        verbose=not ns.quiet,
+    )
+    return run_cv(args)
+
+
+def main(argv=None):
+    ns = build_parser().parse_args(argv)
+    print("Arguments:", ns)
+    if ns.mode == "fbg_fog":
+        return run_fbg_fog(ns)
+    if ns.mode in ("single", "trip"):
+        # single-modality conveniences over the same drivers
+        if ns.mode == "single" and ns.single_mod:
+            return run_weargait(ns)
+        return run_fbg_fog(ns)
+    if ns.mode == "weargait":
+        return run_weargait(ns)
+    if ns.mode == "fusion":
+        from gaitpd.train.fusion_driver import run_fusion
+
+        return run_fusion(ns)
+    if ns.mode in ("deepav", "focal", "taca"):
+        from gaitpd.train.baseline_drivers import run_baseline
+
+        return run_baseline(ns, ns.mode)
+    raise ValueError(ns.mode)
+
+
+if __name__ == "__main__":
+    main()

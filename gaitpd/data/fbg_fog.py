@@ -222,6 +222,13 @@ def build_fusion_fold(
         ev_pairs = S.build_synced_pairs(
             S.group_by_subject(ev_pose.keys), S.group_by_subject(ev_sens.keys)
         )
+        if not tr_pairs or not ev_pairs:
+            # FBG pose/GRF keys have no common segment suffix, so sync pairing
+            # is structurally empty there (the reference would crash the same
+            # way deeper in oversample_equally); sync is a FoG-only mode.
+            raise ValueError(
+                f"synchronized loading produced no aligned pairs for '{dataset}'"
+            )
         ev_pairs = S.oversample_equally(ev_pairs, pose_label, rng)
         return FusionFold(
             tr_pose, tr_sens, ev_pose, ev_sens,

@@ -13,6 +13,7 @@ are cheap and keep shapes static.
 from __future__ import annotations
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 
 EPS = 1e-8
@@ -55,24 +56,70 @@ def min_norm_element(gram: jnp.ndarray, iters: int = 250) -> jnp.ndarray:
 
 
 def cagrad_weights(
-    gram: jnp.ndarray, c_coef: jnp.ndarray, iters: int = 300
+    gram: jnp.ndarray, c_coef: jnp.ndarray, iters: int = 60, ls_iters: int = 30
 ) -> jnp.ndarray:
     """Solve the CAGrad dual:  min_{w in simplex}  wᵀ G w̄ + c √(wᵀ G w)
     with w̄ = 1/K (reference multitask_weighting.py:694-718, which calls
-    scipy SLSQP on the host every step). Projected gradient with a
-    Lipschitz-scaled decaying step, fixed iteration count, fully in-graph."""
+    scipy SLSQP on the host every step). Projected gradient with an exact
+    golden-section line search along each projected direction — fixed
+    iteration counts, fully in-graph, matches scipy to <1e-4 in objective
+    (tests/test_mtl.py)."""
     k = gram.shape[0]
     b = jnp.ones((k,), gram.dtype) / k
     gb = gram @ b
     lips = jnp.linalg.norm(gram) + c_coef + EPS
 
-    def body(i, w):
+    def f(w):
+        return w @ gb + c_coef * jnp.sqrt(w @ (gram @ w) + EPS)
+
+    invphi = 0.6180339887498949
+
+    def golden(w, d):
+        # minimise f(w + g*d) over g in [0, 1]
+        def ls_body(_, st):
+            lo, hi = st
+            m1 = hi - invphi * (hi - lo)
+            m2 = lo + invphi * (hi - lo)
+            go_right = f(w + m1 * d) > f(w + m2 * d)
+            return jnp.where(go_right, m1, lo), jnp.where(go_right, hi, m2)
+
+        lo, hi = jax.lax.fori_loop(
+            0, ls_iters, ls_body, (jnp.zeros((), w.dtype), jnp.ones((), w.dtype))
+        )
+        return 0.5 * (lo + hi)
+
+    def body(_, w):
         quad = w @ (gram @ w)
         grad = gb + c_coef * (gram @ w) / jnp.sqrt(quad + EPS)
-        step = 1.0 / (lips * (1.0 + 0.05 * i))
-        return project_simplex(w - step * grad)
+        d = project_simplex(w - grad / lips) - w
+        w_new = w + golden(w, d) * d
+        return jnp.where(f(w_new) < f(w), w_new, w)
 
-    return jax.lax.fori_loop(0, iters, body, b)
+    w = jax.lax.fori_loop(0, iters, body, b)
+
+    # SMO-style polish: exact line search along every pairwise mass-transfer
+    # direction e_i - e_j (stays on the simplex); nails the last ~1e-4.
+    dirs = []
+    for i in range(k):
+        for j in range(k):
+            if i != j:
+                e = np.zeros((k,), dtype=np.float32)
+                e[i], e[j] = 1.0, -1.0
+                dirs.append(e)
+    dirs = jnp.asarray(np.stack(dirs))
+
+    def polish(_, w):
+        def one(w, e):
+            # max step keeping w + g*(e) >= 0: limited by w[j]
+            gmax = jnp.sum(jnp.where(e < 0, w, 0.0))
+            d = e * gmax
+            w_new = w + golden(w, d) * d
+            return jnp.where(f(w_new) < f(w), w_new, w), None
+
+        w, _ = jax.lax.scan(one, w, dirs)
+        return w
+
+    return jax.lax.fori_loop(0, 4, polish, w)
 
 
 def fairgrad_weights(

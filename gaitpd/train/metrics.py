@@ -71,8 +71,8 @@ def confusion_matrix_arr(trues, preds) -> np.ndarray:
 
 def print_report(trues, preds, name: str, label_names=None):
     """reference training_common.py:186-196."""
-    trues = list(trues or [])
-    preds = list(preds or [])
+    trues = list(trues) if trues is not None else []
+    preds = list(preds) if preds is not None else []
     if not trues or not preds:
         print(f"\n{name}: (no samples)")
         return

@@ -1,0 +1,111 @@
+"""End-to-end training runs on synthetic data (SURVEY.md §4(e)): loss
+decreases, accuracy beats chance, masked relaxed-input eval works, and the
+whole thing runs data-parallel on a multi-device CPU mesh."""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+
+from gaitpd.train.fbg_fog_driver import FbgFogArgs, get_reader, train_one_fold
+from gaitpd.train.weargait_driver import WearGaitArgs, run_cv
+
+
+def test_fog_sensor_only_learns():
+    args = FbgFogArgs(
+        dataset="fog", modality="sensor", wm="ce", alpha=0.0,
+        epochs=15, synthetic=True, verbose=False, seed=0,
+    )
+    reader = get_reader(args)
+    from gaitpd.train.cv import fog_label_dict, generate_class_stratified_folds
+
+    folds = generate_class_stratified_folds(
+        fog_label_dict(reader), np.random.default_rng(0)
+    )
+    sk, se, avg = train_one_fold(1, reader, args, *folds[0])
+    assert avg > 40.0, f"sensor-only FoG should beat 33% chance, got {avg}"
+
+
+def test_fog_multimodal_cagrad_gcl_runs():
+    args = FbgFogArgs(
+        dataset="fog", modality="multimodal", wm="gcl", alpha=0.1,
+        use_norm_and_cos=True, epochs=3, synthetic=True, verbose=False, seed=0,
+    )
+    reader = get_reader(args)
+    from gaitpd.train.cv import fog_label_dict, generate_class_stratified_folds
+
+    folds = generate_class_stratified_folds(
+        fog_label_dict(reader), np.random.default_rng(0)
+    )
+    sk, se, avg = train_one_fold(1, reader, args, *folds[0])
+    assert np.isfinite(avg) and avg > 0
+
+
+def test_weargait_sync_masked_eval():
+    args = WearGaitArgs(
+        n_folds=2, test_per_class=3, epochs=4, patience=50, synthetic=True,
+        verbose=False, seed=0, n_folds_cap=1, wm="gcl", alpha=0.5,
+    )
+    res = run_cv(args)
+    assert set(res["masks"]) == {"W", "I", "M", "W+I", "W+M", "I+M", "W+I+M"}
+    assert all(v is not None and np.isfinite(v) for v in res["masks"].values())
+    assert res["macro"][0] > 50.0, f"should beat 50% chance, got {res['macro']}"
+
+
+def test_weargait_async_runs():
+    args = WearGaitArgs(
+        n_folds=2, test_per_class=3, epochs=2, patience=50, synthetic=True,
+        verbose=False, seed=0, n_folds_cap=1, wm="class_wt", alpha=0.5,
+        async_loading=True,
+    )
+    res = run_cv(args)
+    assert np.isfinite(res["macro"][0])
+
+
+def test_fog_sync_multimodal_runs():
+    """Sync loading is a FoG-only mode (FBG pose/GRF keys share no segment
+    suffix, so pairing is structurally empty — also true in the reference)."""
+    args = FbgFogArgs(
+        dataset="fog", modality="multimodal", wm="gcl", alpha=0.1,
+        synchronized_loading=True, epochs=2, synthetic=True, verbose=False,
+        seed=0,
+    )
+    reader = get_reader(args)
+    from gaitpd.train.cv import fog_label_dict, generate_class_stratified_folds
+
+    folds = generate_class_stratified_folds(
+        fog_label_dict(reader), np.random.default_rng(0)
+    )
+    sk, se, avg = train_one_fold(1, reader, args, *folds[0])
+    assert np.isfinite(avg)
+
+
+def test_fbg_async_multimodal_runs():
+    args = FbgFogArgs(
+        dataset="fbg", modality="multimodal", wm="ce", alpha=0.0,
+        epochs=2, synthetic=True, verbose=False,
+        seed=0,
+    )
+    reader = get_reader(args)
+    from gaitpd.train.cv import fbg_label_dict, generate_class_stratified_folds
+
+    folds = generate_class_stratified_folds(
+        fbg_label_dict(reader), np.random.default_rng(0)
+    )
+    sk, se, avg = train_one_fold(1, reader, args, *folds[0])
+    assert np.isfinite(avg)
+
+
+def test_weargait_data_parallel_mesh():
+    """Full 3-stream CAGrad training step over an 8-device data-parallel mesh
+    (the multi-chip path the driver dry-runs)."""
+    from gaitpd.runtime.mesh import make_mesh
+
+    mesh = make_mesh(8)
+    args = WearGaitArgs(
+        n_folds=2, test_per_class=3, epochs=2, patience=50, synthetic=True,
+        verbose=False, seed=0, n_folds_cap=1, wm="gcl", alpha=0.5,
+        batch_size=64, mesh=mesh,
+    )
+    res = run_cv(args)
+    assert np.isfinite(res["macro"][0])
