@@ -153,7 +153,7 @@ def main(argv=None):
     if ns.mode == "weargait":
         return run_weargait(ns)
     if ns.mode == "fusion":
-        from gaitpd.train.fusion_driver import run_fusion
+        from gaitpd.train.baseline_drivers import run_fusion
 
         return run_fusion(ns)
     if ns.mode in ("deepav", "focal", "taca"):

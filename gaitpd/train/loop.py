@@ -49,12 +49,14 @@ class DeviceFoldData:
         return self.eval_ys if self.eval_ys is not None else self.ys
 
 
-def _gather_batch(xs, ys, idx, valid):
-    """idx: (B, K) -> batch dict with per-stream gathers."""
-    k = len(xs)
+def _gather_batch(xs, ys, idx, valid, head_inputs):
+    """idx: (B, n_inputs) -> batch dict; head i's labels come from input
+    head_inputs[i] (identity for the symmetric N-stream models; e.g. (0,)
+    for sync fusion baselines whose single joint head carries the pose/shared
+    label, reference fusion_train.py:235-237)."""
     return {
-        "xs": tuple(xs[i][idx[:, i]] for i in range(k)),
-        "ys": tuple(ys[i][idx[:, i]] for i in range(k)),
+        "xs": tuple(xs[i][idx[:, i]] for i in range(len(xs))),
+        "ys": tuple(ys[i][idx[:, i]] for i in head_inputs),
         "valid": valid,
     }
 
@@ -70,12 +72,23 @@ class EpochRunner:
         mtl_method=None,
         partition: Optional[FlatPartition] = None,
         mesh=None,
+        train_apply: Optional[Callable] = None,
+        eval_apply: Optional[Callable] = None,
+        head_inputs: Optional[Tuple[int, ...]] = None,
     ):
+        from gaitpd.train.step import make_apply_adapters
+
         self.settings = settings
         self.tx = tx
         self.mesh = mesh
-        train_step = make_train_step(apply_fn, tx, settings, mtl_method, partition)
-        eval_step = make_eval_step(apply_fn, settings)
+        if train_apply is None or eval_apply is None:
+            ta, ea = make_apply_adapters(apply_fn, settings)
+            train_apply = train_apply or ta
+            eval_apply = eval_apply or ea
+        head_inputs = tuple(head_inputs or range(settings.n_streams))
+        self.head_inputs = head_inputs
+        train_step = make_train_step(train_apply, tx, settings, mtl_method, partition)
+        eval_step = make_eval_step(eval_apply, settings)
         k = settings.n_streams
 
         def shard(x):
@@ -88,7 +101,7 @@ class EpochRunner:
         def train_epoch(state, xs, ys, idx, valid, rngs, ctx):
             def body(carry, inp):
                 idx_b, valid_b, rng_b = inp
-                batch = _gather_batch(xs, ys, idx_b, valid_b)
+                batch = _gather_batch(xs, ys, idx_b, valid_b, head_inputs)
                 batch = {
                     "xs": tuple(shard(x) for x in batch["xs"]),
                     "ys": tuple(shard(y) for y in batch["ys"]),
@@ -102,7 +115,7 @@ class EpochRunner:
         def eval_epoch(params, xs, ys, idx, valid, rngs, ctx, epoch, mask):
             def body(_, inp):
                 idx_b, valid_b, rng_b = inp
-                batch = _gather_batch(xs, ys, idx_b, valid_b)
+                batch = _gather_batch(xs, ys, idx_b, valid_b, head_inputs)
                 out = eval_step(params, batch, ctx, rng_b, epoch, mask)
                 return None, out
 
@@ -173,7 +186,7 @@ def run_eval_epoch(
     valid = jnp.asarray(valid_flat)
     rngs = jax.random.split(rng, n_batches)
     if mask is None:
-        mask = np.ones(k, bool)
+        mask = np.ones(len(data.exs), bool)
     outs = runner.eval_epoch(
         state.params, data.exs, data.eys, idx, valid, rngs, ctx, state.epoch,
         jnp.asarray(mask),
@@ -195,7 +208,9 @@ def run_eval_epoch(
             preds[:, i, :].reshape(-1)[vmask] for i in range(k)
         ]
         pool = data.eval_pool[idx_flat.reshape(-1)][vmask]
-        res.trues = [np.asarray(data.eys[i])[pool[:, i]] for i in range(k)]
+        res.trues = [
+            np.asarray(data.eys[src])[pool[:, src]] for src in runner.head_inputs
+        ]
         res.preds_ens = np.asarray(outs["pred_ens"]).reshape(-1)[vmask]
     return res
 

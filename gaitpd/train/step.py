@@ -39,7 +39,13 @@ class TrainState(struct.PyTreeNode):
 
 @dataclasses.dataclass(frozen=True)
 class StepSettings:
-    """Static (trace-time) configuration of a step."""
+    """Static (trace-time) configuration of a step.
+
+    n_streams counts OUTPUT heads; models may take a different number of
+    inputs (e.g. the sync fusion baselines: 2 inputs -> 1 joint head,
+    reference fusion_train.py:235-237). The head->input label mapping lives
+    in the epoch runner (head_inputs).
+    """
 
     n_streams: int
     wm: str = "gcl"  # ce | class_wt | ldam | gcl
@@ -51,7 +57,28 @@ class StepSettings:
     drw_warmup: int = 0
     consistency_lambda: float = 0.0  # >0 adds symmetric-KL in sync gcl mode
     private_grads: str = "sum"  # see gaitpd.learning.mtl.mtl_grads
-    loss_reduction: str = "mean"  # combined scalar = mean of branch losses
+    loss_reduction: str = "mean"  # combined scalar: mean|sum of branch losses
+    dropout: bool = False  # thread a dropout rng through train applies
+
+
+def make_apply_adapters(apply_fn, settings: "StepSettings"):
+    """Standard adapters: train_apply(vars, xs, rng, epoch) -> logits tuple,
+    eval_apply(vars, xs, epoch) -> logits tuple."""
+    if settings.dropout:
+        def train_apply(v, xs, rng, epoch):
+            return apply_fn(v, *xs, train=True, rngs={"dropout": rng})
+
+        def eval_apply(v, xs, epoch):
+            return apply_fn(v, *xs, train=False)
+
+    else:
+        def train_apply(v, xs, rng, epoch):
+            return apply_fn(v, *xs)
+
+        def eval_apply(v, xs, epoch):
+            return apply_fn(v, *xs)
+
+    return train_apply, eval_apply
 
 
 def branch_loss(
@@ -119,12 +146,14 @@ def _resolve_drw(settings: StepSettings, ctx, epoch):
 
 
 def make_multitask_loss_fn(
-    apply_fn: Callable, settings: StepSettings
+    train_apply: Callable, settings: StepSettings
 ) -> Callable:
-    """loss_fn(params, xs, ys, valid, ctx, rng, epoch) -> ((K,) losses, logits)."""
+    """loss_fn(params, xs, ys, valid, ctx, rng, epoch) -> ((K,) losses, logits).
+
+    train_apply(variables, xs, rng, epoch) -> logits tuple (one per head)."""
 
     def loss_fn(params, xs, ys, valid, ctx, rng, epoch):
-        logits = apply_fn({"params": params["params"]}, *xs)
+        logits = train_apply(params, xs, jax.random.fold_in(rng, 777), epoch)
         if not isinstance(logits, (tuple, list)):
             logits = (logits,)
         ctx_r = _resolve_drw(settings, ctx, epoch)
@@ -165,7 +194,7 @@ def _batch_metrics(logits, ys, valid, losses):
 
 
 def make_train_step(
-    apply_fn: Callable,
+    train_apply: Callable,
     tx,
     settings: StepSettings,
     mtl_method,
@@ -173,19 +202,21 @@ def make_train_step(
 ):
     """Build the jittable multitask train step.
 
-    When ``mtl_method`` is None the combined scalar is the plain mean of the
-    branch losses (reference non-CAGrad paths: fbg_fog_train.py:151,
-    weargait_train.py:244-247). Otherwise gradients come from
+    When ``mtl_method`` is None the combined scalar is the mean (or sum, per
+    settings.loss_reduction) of the branch losses (reference non-CAGrad
+    paths: fbg_fog_train.py:151, weargait_train.py:244-247, the baseline
+    drivers' summed CE). Otherwise gradients come from
     gaitpd.learning.mtl.mtl_grads.
     """
-    loss_fn = make_multitask_loss_fn(apply_fn, settings)
+    loss_fn = make_multitask_loss_fn(train_apply, settings)
+    reduce = jnp.mean if settings.loss_reduction == "mean" else jnp.sum
 
     def train_step(state: TrainState, batch, rng, ctx):
         xs, ys, valid = batch["xs"], batch["ys"], batch["valid"]
         if mtl_method is None:
             def scalar_loss(params):
                 ls, logits = loss_fn(params, xs, ys, valid, ctx, rng, state.epoch)
-                return jnp.mean(ls), (ls, logits)
+                return reduce(ls), (ls, logits)
 
             grads, (ls, logits) = jax.grad(scalar_loss, has_aux=True)(state.params)
             new_mtl_state = state.mtl_state
@@ -218,13 +249,15 @@ def make_train_step(
     return train_step
 
 
-def make_eval_step(apply_fn: Callable, settings: StepSettings):
+def make_eval_step(eval_apply: Callable, settings: StepSettings):
     """Masked relaxed-input eval step.
 
-    mask: (K,) bool operand. Disabled streams are zero-filled before the
-    forward pass (the model still runs all branches, shape-stable by design —
-    reference weargait_train.py:355-382) and excluded from the softmax
-    ensemble (weargait_train.py:397-415).
+    mask: bool operand, one entry per model INPUT. Disabled streams are
+    zero-filled before the forward pass (the model still runs all branches,
+    shape-stable by design — reference weargait_train.py:355-382) and the
+    corresponding heads are excluded from the softmax ensemble
+    (weargait_train.py:397-415; when heads != inputs the leading K=n_streams
+    mask entries select ensemble members).
     Returns logits, per-stream correct counts, ensemble correct count, n.
     """
 
@@ -233,7 +266,7 @@ def make_eval_step(apply_fn: Callable, settings: StepSettings):
             jnp.where(mask[k], x, jnp.zeros_like(x)) for k, x in enumerate(batch["xs"])
         )
         ys, valid = batch["ys"], batch["valid"]
-        logits = apply_fn({"params": params["params"]}, *xs)
+        logits = eval_apply(params, xs, epoch)
         if not isinstance(logits, (tuple, list)):
             logits = (logits,)
         ctx_r = _resolve_drw(settings, ctx, epoch)
@@ -250,7 +283,7 @@ def make_eval_step(apply_fn: Callable, settings: StepSettings):
         )
         # masked softmax ensemble over enabled heads
         probs = jnp.stack([jax.nn.softmax(lg, axis=-1) for lg in logits])  # (K,B,C)
-        mk = mask.astype(probs.dtype)[:, None, None]
+        mk = mask[: len(logits)].astype(probs.dtype)[:, None, None]
         p_ens = jnp.sum(probs * mk, 0) / jnp.maximum(jnp.sum(mk), 1.0)
         pred_ens = jnp.argmax(p_ens, -1)
         ens_correct = jnp.sum((pred_ens == ys[0]) * v)
@@ -263,56 +296,6 @@ def make_eval_step(apply_fn: Callable, settings: StepSettings):
             "preds": preds,
             "pred_ens": pred_ens,
             "logits": jnp.stack(logits),
-        }
-
-    return eval_step
-
-
-def make_single_train_step(apply_fn: Callable, tx, settings: StepSettings):
-    """Single-modality training step (reference fbg_fog single-branch models,
-    utilities.py:35-56, and weargait --single_mod path, weargait_train.py:273-285)."""
-
-    def train_step(state: TrainState, batch, rng, ctx):
-        x, y, valid = batch["x"], batch["y"], batch["valid"]
-
-        def scalar_loss(params):
-            logits = apply_fn({"params": params["params"]}, x)
-            ctx_r = _resolve_drw(settings, (ctx,), state.epoch)[0]
-            loss = branch_loss(settings, logits, y, ctx_r, rng, valid)
-            return loss, logits
-
-        (loss, logits), grads = jax.value_and_grad(scalar_loss, has_aux=True)(
-            state.params
-        )
-        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
-        new_params = optax.apply_updates(state.params, updates)
-        v = valid.astype(jnp.float32)
-        metrics = {
-            "losses": loss[None],
-            "correct": jnp.sum((jnp.argmax(logits, -1) == y) * v)[None],
-            "n": jnp.sum(v),
-        }
-        return (
-            state.replace(params=new_params, opt_state=new_opt_state),
-            metrics,
-        )
-
-    return train_step
-
-
-def make_single_eval_step(apply_fn: Callable, settings: StepSettings):
-    def eval_step(params, batch, ctx, rng, epoch):
-        x, y, valid = batch["x"], batch["y"], batch["valid"]
-        logits = apply_fn({"params": params["params"]}, x)
-        ctx_r = _resolve_drw(settings, (ctx,), epoch)[0]
-        loss = branch_loss(settings, logits, y, ctx_r, rng, valid)
-        v = valid.astype(jnp.float32)
-        return {
-            "losses": loss[None],
-            "correct": jnp.sum((jnp.argmax(logits, -1) == y) * v)[None],
-            "n": jnp.sum(v),
-            "preds": jnp.argmax(logits, -1)[None],
-            "logits": logits[None],
         }
 
     return eval_step

@@ -157,6 +157,37 @@ def split_to_device(split: WG.WearGaitSplit, async_mode: bool, seed: int) -> Dev
     )
 
 
+def _baseline_adapters(model, args: WearGaitArgs):
+    """Per-baseline apply adapters: TACA consumes flattened windows with an
+    epoch-fraction operand for its γ schedule (reference
+    weargait_train.py:176-181, taca_train.py:143); DeepAV-Lite threads a
+    dropout rng. Returns (train_apply, eval_apply, sample_transform) —
+    train_apply/eval_apply None means default adapters."""
+    if args.baseline == "taca":
+        flat = lambda xs: tuple(x.reshape(x.shape[0], -1) for x in xs)  # noqa: E731
+
+        def train_apply(v, xs, rng, epoch):
+            ef = epoch.astype(jnp.float32) / max(1, args.epochs)
+            return model.apply(
+                v, *flat(xs), train=True, epoch_frac=ef, rngs={"dropout": rng}
+            )
+
+        def eval_apply(v, xs, epoch):
+            ef = epoch.astype(jnp.float32) / max(1, args.epochs)
+            return model.apply(v, *flat(xs), train=False, epoch_frac=ef)
+
+        return train_apply, eval_apply, flat
+    if args.baseline == "deepav_lite":
+        def train_apply(v, xs, rng, epoch):
+            return model.apply(v, *xs, train=True, rngs={"dropout": rng})
+
+        def eval_apply(v, xs, epoch):
+            return model.apply(v, *xs, train=False)
+
+        return train_apply, eval_apply, (lambda xs: xs)
+    return None, None, (lambda xs: xs)
+
+
 def run_fold(
     fi: int,
     split: WG.WearGaitSplit,
@@ -190,9 +221,15 @@ def run_fold(
     tx = sgd_torch(args.lr, 0.9, 1e-4)
     use_cagrad = args.baseline is None and args.single_mod is None and args.alpha > 0
     mtl = make_method("cagrad", 3, c=args.alpha) if use_cagrad else None
-    sample_xs = tuple(x[:2] for x in data.xs)
+    if args.baseline in ("deepav_lite", "taca"):
+        settings = dataclasses.replace(settings, dropout=True)
+    train_apply, eval_apply, sample_tf = _baseline_adapters(model, args)
+    sample_xs = sample_tf(tuple(x[:2] for x in data.xs))
     state, partition = init_train_state(model, tx, mtl, sample_xs, seed=args.seed)
-    runner = EpochRunner(model.apply, tx, settings, mtl, partition, mesh=args.mesh)
+    runner = EpochRunner(
+        model.apply, tx, settings, mtl, partition, mesh=args.mesh,
+        train_apply=train_apply, eval_apply=eval_apply,
+    )
 
     rng = np.random.default_rng(args.seed + 1000 * fi)
     key = jax.random.PRNGKey(args.seed + fi)
