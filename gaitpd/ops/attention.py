@@ -23,7 +23,10 @@ import jax.numpy as jnp
 
 
 def _dot(a, b):
-    return jnp.einsum("btd,bsd->bts", a, b, preferred_element_type=jnp.float32)
+    return jnp.einsum(
+        "btd,bsd->bts", a, b, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
 
 
 def cheap_cross_attention_sym(s: jnp.ndarray, g: jnp.ndarray) -> jnp.ndarray:
@@ -34,8 +37,8 @@ def cheap_cross_attention_sym(s: jnp.ndarray, g: jnp.ndarray) -> jnp.ndarray:
     sim = _dot(s, g) / jnp.sqrt(jnp.asarray(d, jnp.float32))
     attn_sg = jax.nn.softmax(sim, axis=-1)
     attn_gs = jax.nn.softmax(sim.swapaxes(1, 2), axis=-1)
-    s_star = jnp.einsum("bts,bsd->btd", attn_sg, g)
-    g_star = jnp.einsum("bts,bsd->btd", attn_gs, s)
+    s_star = jnp.einsum("bts,bsd->btd", attn_sg, g, precision=jax.lax.Precision.HIGHEST)
+    g_star = jnp.einsum("bts,bsd->btd", attn_gs, s, precision=jax.lax.Precision.HIGHEST)
     return 0.5 * (s_star + g_star)
 
 
@@ -44,7 +47,10 @@ def cheap_cross_attention(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     reference data/WearGait/weargait_encoders.py:324-336."""
     d = a.shape[-1]
     sim = _dot(a, b) / jnp.sqrt(jnp.asarray(d, jnp.float32))
-    return jnp.einsum("bts,bsd->btd", jax.nn.softmax(sim, axis=-1), b)
+    return jnp.einsum(
+        "bts,bsd->btd", jax.nn.softmax(sim, axis=-1), b,
+        precision=jax.lax.Precision.HIGHEST,
+    )
 
 
 def scaled_cross_attention(
@@ -68,12 +74,13 @@ def scaled_cross_attention(
 
     qh, kh, vh = split(q, tq), split(k, tk), split(v, tk)
     logits = jnp.einsum(
-        "bhtd,bhsd->bhts", qh, kh, preferred_element_type=jnp.float32
+        "bhtd,bhsd->bhts", qh, kh, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     ) / jnp.sqrt(jnp.asarray(dk, jnp.float32))
     if kv_mask is not None:
         logits = jnp.where(kv_mask[:, None, None, :] == 0, -jnp.inf, logits)
     attn = jax.nn.softmax(scale_mul * logits, axis=-1)
-    out = jnp.einsum("bhts,bhsd->bhtd", attn, vh)
+    out = jnp.einsum("bhts,bhsd->bhtd", attn, vh, precision=jax.lax.Precision.HIGHEST)
     return out.transpose(0, 2, 1, 3).reshape(b, tq, da)
 
 

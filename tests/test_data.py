@@ -1,0 +1,252 @@
+"""Unit tests for the data layer: pad/trim, windowing, stats fitting,
+sampling semantics, the WearGait raw preprocessor on fixture CSVs, and the
+fold builders (SURVEY.md §4(a))."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from gaitpd.data.pipeline import pad_or_trim, window_indices, window_stream_np
+from gaitpd.data import sampler as S
+from gaitpd.data import weargait as WG
+from gaitpd.train import cv
+
+
+def test_pad_or_trim():
+    x = np.arange(10, dtype=np.float32).reshape(5, 2)
+    same = pad_or_trim(x, 5)
+    assert same is x
+    trimmed = pad_or_trim(x, 3)
+    np.testing.assert_array_equal(trimmed, x[:3])
+    padded = pad_or_trim(x, 8)
+    assert padded.shape == (8, 2)
+    np.testing.assert_array_equal(padded[5:], 0)
+
+
+@pytest.mark.parametrize(
+    "n,win,hop,expect",
+    [
+        (10, 4, 4, [(0, 0, 4), (1, 4, 8)]),
+        (8, 4, 2, [(0, 0, 4), (1, 2, 6), (2, 4, 8)]),
+        (3, 4, 4, []),
+        (0, 4, 4, []),
+        (4, 4, 4, [(0, 0, 4)]),
+    ],
+)
+def test_window_indices(n, win, hop, expect):
+    # strict full windows (reference dataloader_weargait.py:230-237)
+    assert window_indices(n, win, hop) == expect
+
+
+def test_window_stream_np_matches_indices():
+    x = np.arange(20 * 3, dtype=np.float32).reshape(20, 3)
+    wins = window_stream_np(x, 6, 4)
+    idx = window_indices(20, 6, 4)
+    assert wins.shape == (len(idx), 6, 3)
+    for (i, s, e), w in zip(idx, wins):
+        np.testing.assert_array_equal(w, x[s:e])
+
+
+def test_fit_stats_nan_aware():
+    streams = {
+        "A": {"insole": np.array([[1.0, np.nan], [3.0, 4.0]]),
+              "imu": np.zeros((2, 1)), "walkway": np.zeros((2, 1))},
+        "B": {"insole": np.array([[5.0, 6.0]]),
+              "imu": np.ones((1, 1)), "walkway": np.zeros((1, 1))},
+    }
+    stats = WG.fit_stats_on_train(streams, ["A", "B"], modalities=("insole",))
+    mean, std = stats["insole"]
+    np.testing.assert_allclose(mean, [3.0, 5.0])  # NaN excluded per channel
+
+
+def test_apply_stats_guards():
+    x = np.array([[np.nan, 1.0], [2.0, np.inf]])
+    z = WG.apply_stats_np(x, np.array([1.0, 1.0]), np.array([2.0, 0.0]))
+    assert np.isfinite(z).all()
+    # NaN -> mean -> z = 0; std floored at MIN_STD
+    assert z[0, 0] == 0.0
+
+
+def test_prepare_split_sync_pools():
+    from gaitpd.data.synthetic import make_weargait_streams
+
+    streams, pd_ids, hc_ids = make_weargait_streams(4, 4, t_frames=200, seed=0)
+    labels = cv.build_subj2label(pd_ids, hc_ids)
+    split = WG.prepare_split(streams, pd_ids[:3] + hc_ids[:3], pd_ids[3:] + hc_ids[3:],
+                             labels, win=64, hop=64)
+    # sync rows index the same window id across modalities for one subject
+    for row in split.train_sync[:5]:
+        keys = [split.train[m].keys[i] for m, i in zip(WG.MODALITIES, row)]
+        sids = {k.split("|")[0] for k in keys}
+        wids = {k.split("|")[2] for k in keys}
+        assert len(sids) == 1 and len(wids) == 1
+    # stats fitted only on insole/imu; walkway untouched
+    assert set(split.stats) == {"insole", "imu"}
+
+
+def test_async_pool_no_replacement():
+    from gaitpd.data.synthetic import make_weargait_streams
+
+    streams, pd_ids, hc_ids = make_weargait_streams(3, 3, t_frames=300, seed=1)
+    labels = cv.build_subj2label(pd_ids, hc_ids)
+    split = WG.prepare_split(streams, pd_ids + hc_ids, pd_ids[:1], labels)
+    pool = WG.async_pool(split.train, np.random.default_rng(0))
+    min_len = min(len(split.train[m].keys) for m in WG.MODALITIES)
+    assert pool.shape == (min_len, 3)
+    for c in range(3):
+        assert len(set(pool[:, c].tolist())) == min_len  # without replacement
+
+
+def test_sync_pair_building():
+    pose = {"S1": ["S1_walk_0", "S1_walk_1"], "S2": ["S2_walk_0"]}
+    sens = {"S1": ["S1_a_walk_0", "S1_b_walk_1"], "S2": ["S2_x_walk_0"]}
+    pairs = S.build_synced_pairs(pose, sens)
+    assert ("S1_walk_0", "S1_a_walk_0") in pairs
+    assert ("S1_walk_1", "S1_b_walk_1") in pairs
+    assert ("S2_walk_0", "S2_x_walk_0") in pairs
+    assert len(pairs) == 3
+
+
+def test_oversample_equally_balances():
+    rng = np.random.default_rng(0)
+    pairs = [("a0", "x")] * 5 + [("b1", "y")] * 2
+    labels = {"a0": 0, "b1": 1}
+    out = S.oversample_equally(pairs, lambda k: labels[k], rng)
+    counts = {0: 0, 1: 0}
+    for pk, _ in out:
+        counts[labels[pk]] += 1
+    assert counts[0] == counts[1] == 5
+
+
+def test_async_epoch_wraparound():
+    rng = np.random.default_rng(0)
+    p, s = S.async_epoch_order(3, 7, rng)
+    assert len(p) == len(s) == 7
+    assert p.max() < 3 and s.max() < 7
+
+
+def test_batch_index_matrix_padding():
+    idx, valid = S.batch_index_matrix(np.arange(10), 4)
+    assert idx.shape == (3, 4)
+    assert valid.sum() == 10
+    assert valid[2, 2:].sum() == 0
+
+
+def test_fixed_balanced_folds():
+    pd_ids = [f"PD{i}" for i in range(8)]
+    hc_ids = [f"HC{i}" for i in range(8)]
+    folds = cv.make_fixed_balanced_folds_no_overlap(pd_ids, hc_ids, n_folds=4, per_class=2, seed=0)
+    tests = [set(te) for _, te in folds]
+    # disjoint test sets, 2 PD + 2 HC each
+    for i in range(4):
+        assert len(tests[i]) == 4
+        assert sum(s.startswith("PD") for s in tests[i]) == 2
+        for j in range(i + 1, 4):
+            assert not (tests[i] & tests[j])
+
+
+def test_class_stratified_folds():
+    labels = {f"S{i}": i % 3 for i in range(9)}
+    folds = cv.generate_class_stratified_folds(labels, np.random.default_rng(0))
+    assert len(folds) == 3
+    for tr, ev in folds:
+        assert len(ev) == 3
+        assert {labels[s] for s in ev} == {0, 1, 2}
+        assert not (set(tr) & set(ev))
+
+
+# ------------------------- raw preprocessor fixtures ------------------------
+
+
+def _fixture_csv(tmp_path, sid, t=200, hz=60):
+    rng = np.random.default_rng(hash(sid) % 2**31)
+    time = np.arange(t) / hz
+    df = pd.DataFrame({"Time": [f"{x:.4f} sec" for x in time]})
+    df["GeneralEvent"] = ["walking"] * (t - 10) + ["Standing"] * 10
+    df["L Foot Pressure"] = rng.uniform(0, 700, t)
+    df["R Foot Pressure"] = rng.uniform(0, 700, t)
+    df["LTotalForce"] = rng.uniform(0, 700, t)
+    df["RTotalForce"] = rng.uniform(0, 700, t)
+    for c in ("LCoP_X", "LCoP_Y", "RCoP_X", "RCoP_Y"):
+        df[c] = rng.normal(size=t)
+    for side in ("Linsole", "Rinsole"):
+        for ax in "XYZ":
+            df[f"{side}:Acc_{ax}"] = rng.normal(size=t)
+    from gaitpd.data.preprocess_weargait import IMU_SITES
+
+    for s in IMU_SITES:
+        for ax in "ENU":
+            df[f"{s}_FreeAcc_{ax}"] = rng.normal(size=t)
+    path = tmp_path / f"{sid}_SelfPace_matTURN.csv"
+    df.to_csv(path, index=False)
+    return path
+
+
+def _fixture_demo(tmp_path, name, sids):
+    rows = [["junk"] * 3, ["Subject ID", "Weight (kg)", "Other"]]
+    rows += [[sid, "70.5", "x"] for sid in sids]
+    path = tmp_path / name
+    pd.DataFrame(rows).to_csv(path, index=False, header=False)
+    return path
+
+
+def test_weargait_raw_preprocessor(tmp_path):
+    from gaitpd.data.preprocess_weargait import run_end_to_end
+    from gaitpd.data.weargait import load_pkl_streams
+
+    hc = tmp_path / "HC"
+    pdd = tmp_path / "PD"
+    hc.mkdir()
+    pdd.mkdir()
+    _fixture_csv(hc, "HC001")
+    _fixture_csv(pdd, "PD001")
+    hc_demo = _fixture_demo(tmp_path, "hc_demo.csv", ["HC001"])
+    pd_demo = _fixture_demo(tmp_path, "pd_demo.csv", ["PD001"])
+    out = tmp_path / "out"
+    n = run_end_to_end(hc, pdd, hc_demo, pd_demo, out)
+    assert n == 2
+    streams = load_pkl_streams(out, ["hc001", "pd001"])
+    w = streams["hc001"]["walkway"]
+    i = streams["hc001"]["insole"]
+    m = streams["hc001"]["imu"]
+    assert w.shape[1] == 2 and i.shape[1] == 13 and m.shape[1] == 24
+    # 200 rows @60Hz minus 10 standing rows -> ~95 bins at 30Hz
+    assert 90 <= len(w) <= 96
+    # BW normalisation applied: pressures / (70.5 * 9.81) stay small
+    assert np.nanmax(np.abs(w)) < 1.5
+
+
+def test_fog_reader_fixture(tmp_path):
+    """FoGReader on a minimal fixture tree (json poses + txt IMU + xlsx)."""
+    import json as js
+
+    pose_dir = tmp_path / "predictions"
+    lifted = tmp_path / "lifted"
+    imu = tmp_path / "IMU"
+    for d in (pose_dir, lifted, imu):
+        d.mkdir()
+    # one video with 72 frames of 7 keypoints
+    frames = [
+        {"predictions": [[{"keypoints": [[float(f), 0.0, 0.0]] * 17}]]}
+        for f in range(72)
+    ]
+    (pose_dir / "PDFE01_1_3d_predictions.json").write_text(js.dumps(frames))
+    (lifted / "PDFE01_1.mp4").write_text("")
+    # IMU txt: 8 cols, 432 rows -> downsample x3 = 144 -> 36 segments of 4
+    arr = np.random.default_rng(0).normal(size=(432, 9))
+    with open(imu / "SUB01_1.txt", "w") as f:
+        f.write("\t".join(f"c{i}" for i in range(9)) + "\n")
+        for row in arr:
+            f.write("\t".join(f"{v:.4f}" for v in row) + "\n")
+    # labels table (csv accepted): first data row skipped by the reader, H&Y col
+    df = pd.DataFrame({"Name": ["hdr", "s1"], "H&Y": [np.nan, 3]})
+    df.to_csv(tmp_path / "PDFEinfo.csv", index=False)
+
+    from gaitpd.data.readers import FoGReader
+
+    r = FoGReader(pose_dir, imu, tmp_path / "PDFEinfo.csv", lifted)
+    assert len(r.pose_dict) == 36  # 72 frames -> 36 segments of 2
+    assert r.pose_dict["SUB01_1_1"].shape == (2, 7, 3)
+    assert len(r.sensor_dict) == 36
+    assert r.sensor_dict["SUB01_1_1"].shape == (4, 6)
+    assert r.labels_dict == {"SUB01": [1]}  # 3 - 2
