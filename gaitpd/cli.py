@@ -72,6 +72,12 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["early", "late", "share_latent", "cheap_xattn"])
     p.add_argument("--data_dir", type=str, default=None)
     p.add_argument("--rebuild_cache", action="store_true")
+    p.add_argument("--mtl_method", type=str, default="cagrad",
+                   help="multitask weighting method (any gaitpd.learning.mtl key)")
+    p.add_argument("--ckpt_dir", type=str, default=None,
+                   help="enable per-fold orbax checkpoints under this dir")
+    p.add_argument("--resume", action="store_true",
+                   help="resume folds from their latest checkpoint")
     return p
 
 
@@ -99,6 +105,9 @@ def run_fbg_fog(ns: argparse.Namespace):
         synthetic=ns.synthetic,
         n_folds_cap=ns.n_folds_cap,
         verbose=not ns.quiet,
+        mtl_method=ns.mtl_method,
+        ckpt_dir=ns.ckpt_dir,
+        resume=ns.resume,
     )
     return main(args)
 
@@ -136,6 +145,9 @@ def run_weargait(ns: argparse.Namespace, baseline: str = None):
         data_dir=ns.data_dir,
         n_folds_cap=ns.n_folds_cap,
         verbose=not ns.quiet,
+        mtl_method=ns.mtl_method,
+        ckpt_dir=ns.ckpt_dir,
+        resume=ns.resume,
     )
     return run_cv(args)
 

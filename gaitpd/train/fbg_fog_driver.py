@@ -63,6 +63,9 @@ class FbgFogArgs:
     n_folds_cap: Optional[int] = None
     verbose: bool = True
     mesh: object = None
+    mtl_method: str = "cagrad"  # any gaitpd.learning.mtl.METHODS key
+    ckpt_dir: Optional[str] = None  # enable per-fold orbax checkpoints
+    resume: bool = False  # resume folds from their latest checkpoint
 
 
 def choose_model(args: FbgFogArgs, dims):
@@ -165,14 +168,27 @@ def train_one_fold(
 
     model = choose_model(args, dims)
     tx = sgd_torch(tp.learning_rate, tp.momentum, tp.weight_decay)
-    mtl = (
-        make_method("cagrad", n_streams, c=args.alpha, max_norm=args.max_norm)
-        if (multimodal and args.alpha > 0)
-        else None
-    )
+    mtl = None
+    if multimodal and args.alpha > 0:
+        kwargs = (
+            {"c": args.alpha, "max_norm": args.max_norm}
+            if args.mtl_method in ("cagrad", "log_cagrad")
+            else {}
+        )
+        mtl = make_method(args.mtl_method, n_streams, **kwargs)
     sample_xs = tuple(x[:2] for x in data.xs)
     state, partition = init_train_state(model, tx, mtl, sample_xs, seed=args.seed)
     runner = EpochRunner(model.apply, tx, settings, mtl, partition, mesh=args.mesh)
+
+    start_epoch = 0
+    if args.ckpt_dir and args.resume:
+        from gaitpd.train.checkpoint import restore_fold_checkpoint
+
+        restored = restore_fold_checkpoint(args.ckpt_dir, fold_idx, state)
+        if restored is not None:
+            state, meta = restored
+            start_epoch = meta["epoch"] + 1
+            print(f"[Fold {fold_idx}] resumed from epoch {start_epoch}")
 
     n_params = sum(x.size for x in jax.tree_util.tree_leaves(state.params))
     if args.verbose:
@@ -183,7 +199,7 @@ def train_one_fold(
     stopper = EarlyStopper(patience=tp.patience)
     train_losses, val_losses = [], []
 
-    for ep in range(epochs):
+    for ep in range(start_epoch, epochs):
         state = state.replace(epoch=jnp.asarray(ep, jnp.int32))
         order = rng.permutation(len(data.train_pool))
         key, k_tr, k_ev = jax.random.split(key, 3)
@@ -200,6 +216,18 @@ def train_one_fold(
             avg = float(ev.acc[0])
 
         improved = stopper.update(avg, payload=ev)
+        if args.ckpt_dir:
+            from gaitpd.train.checkpoint import save_fold_checkpoint
+
+            save_fold_checkpoint(
+                args.ckpt_dir, fold_idx, state,
+                best_metric=stopper.best, no_improve=stopper.no_improve,
+            )
+            if improved:
+                save_fold_checkpoint(
+                    args.ckpt_dir, fold_idx, state,
+                    best_metric=stopper.best, latest=False,
+                )
         if args.verbose:
             if multimodal and args.synchronized_loading:
                 print(

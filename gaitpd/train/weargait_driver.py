@@ -81,6 +81,9 @@ class WearGaitArgs:
     n_folds_cap: Optional[int] = None
     verbose: bool = True
     mesh: object = None
+    mtl_method: str = "cagrad"  # any gaitpd.learning.mtl.METHODS key
+    ckpt_dir: Optional[str] = None
+    resume: bool = False
 
 
 def build_model(args: WearGaitArgs, sync_flag: bool):
@@ -220,7 +223,14 @@ def run_fold(
     model = build_model(args, sync_flag)
     tx = sgd_torch(args.lr, 0.9, 1e-4)
     use_cagrad = args.baseline is None and args.single_mod is None and args.alpha > 0
-    mtl = make_method("cagrad", 3, c=args.alpha) if use_cagrad else None
+    mtl = None
+    if use_cagrad:
+        kwargs = (
+            {"c": args.alpha}
+            if args.mtl_method in ("cagrad", "log_cagrad")
+            else {}
+        )
+        mtl = make_method(args.mtl_method, 3, **kwargs)
     if args.baseline in ("deepav_lite", "taca"):
         settings = dataclasses.replace(settings, dropout=True)
     train_apply, eval_apply, sample_tf = _baseline_adapters(model, args)
@@ -237,7 +247,22 @@ def run_fold(
     best_params = None
     best_w = best_i = best_m = 0.0
 
-    for ep in range(1, args.epochs + 1):
+    start_epoch = 1
+    if args.ckpt_dir and args.resume:
+        from gaitpd.train.checkpoint import restore_fold_checkpoint
+
+        restored = restore_fold_checkpoint(args.ckpt_dir, fi, state)
+        if restored is not None:
+            state, meta = restored
+            start_epoch = meta["epoch"] + 2  # stored 0-based epoch
+            stopper.best = meta["best_metric"]
+            stopper.no_improve = meta["no_improve"]
+            best_restored = restore_fold_checkpoint(args.ckpt_dir, fi, state, "best")
+            if best_restored is not None:
+                best_params = jax.device_get(best_restored[0].params)
+            print(f"[Fold {fi}] resumed from epoch {start_epoch}")
+
+    for ep in range(start_epoch, args.epochs + 1):
         state = state.replace(epoch=jnp.asarray(ep - 1, jnp.int32))
         if async_mode:
             # per-epoch reseed of the modality permutations
@@ -257,6 +282,17 @@ def run_fold(
         if improved:
             best_w, best_i, best_m = float(vaw), float(vai), float(vam)
             best_params = jax.device_get(state.params)
+        if args.ckpt_dir:
+            from gaitpd.train.checkpoint import save_fold_checkpoint
+
+            save_fold_checkpoint(
+                args.ckpt_dir, fi, state,
+                best_metric=stopper.best, no_improve=stopper.no_improve,
+            )
+            if improved:
+                save_fold_checkpoint(
+                    args.ckpt_dir, fi, state, best_metric=stopper.best, latest=False
+                )
         if args.verbose:
             taw, tai, tam = tr.acc_batchmean
             tail = f"macro={macro:5.1f}" if async_mode else f"ens={macro:5.1f}"

@@ -1,0 +1,112 @@
+"""Auxiliary subsystem tests: checkpoint save/resume roundtrip, sweep runner
+skip-if-done, profiling counters, every MTL method runs one step."""
+
+import json
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+
+def _tiny_state():
+    from gaitpd.models.multitask import WearGaitThreeModal
+    from gaitpd.train.loop import init_train_state
+    from gaitpd.train.optim import sgd_torch
+    from gaitpd.learning.mtl import make_method
+
+    model = WearGaitThreeModal(synchronized=True, enc_out_ch=4, shared_out_ch=4)
+    tx = sgd_torch(1e-3)
+    mtl = make_method("cagrad", 3, c=0.5)
+    xs = tuple(jnp.ones((2, 16, c)) for c in (2, 13, 24))
+    state, partition = init_train_state(model, tx, mtl, xs, seed=0)
+    return model, tx, mtl, partition, state, xs
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from gaitpd.train.checkpoint import restore_fold_checkpoint, save_fold_checkpoint
+
+    model, tx, mtl, partition, state, xs = _tiny_state()
+    state = state.replace(epoch=jnp.asarray(7, jnp.int32))
+    save_fold_checkpoint(tmp_path, 1, state, best_metric=83.2, no_improve=3)
+    restored, meta = restore_fold_checkpoint(tmp_path, 1, state)
+    assert meta["epoch"] == 7 and meta["best_metric"] == 83.2 and meta["no_improve"] == 3
+    for a, b in zip(
+        jax.tree_util.tree_leaves(state.params),
+        jax.tree_util.tree_leaves(restored.params),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert restore_fold_checkpoint(tmp_path, 2, state) is None
+
+
+def test_sweep_runner_skip_if_done(tmp_path, capsys):
+    from gaitpd import sweep
+
+    out = tmp_path / "sweep"
+    args = [
+        "--mode", "fusion", "--dataset", "fog", "--synthetic",
+        "--fusion_types", "early", "--seeds", "0",
+        "--epochs", "1", "--n_folds_cap", "1", "--out", str(out),
+    ]
+    res1 = sweep.main(args)
+    assert res1 == {"done": 1, "skipped": 0, "failed": 0}
+    payload = json.loads((out / "fusion_fog_early_seed0.json").read_text())
+    assert payload["status"] == "ok"
+    res2 = sweep.main(args)
+    assert res2 == {"done": 0, "skipped": 1, "failed": 0}
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["ls", "uw", "scaleinvls", "rlw", "dwa", "pcgrad", "mgda", "graddrop",
+     "log_mgda", "cagrad", "log_cagrad", "imtl", "log_imtl", "nashmtl",
+     "famo", "fairgrad", "stl"],
+)
+def test_every_mtl_method_one_step(name):
+    """All 17 weighting methods produce finite losses and update params
+    through the shared train step (reference registry METHODS,
+    multitask_weighting.py:1342-1361)."""
+    from gaitpd.learning.mtl import make_method
+    from gaitpd.models.multitask import WearGaitThreeModal
+    from gaitpd.train.loop import init_train_state
+    from gaitpd.train.optim import sgd_torch
+    from gaitpd.train.step import StepSettings, make_apply_adapters, make_loss_ctx, make_train_step
+
+    model = WearGaitThreeModal(synchronized=True, enc_out_ch=4, shared_out_ch=4)
+    tx = sgd_torch(1e-2)
+    kwargs = {"main_task": 0} if name == "stl" else {}
+    mtl = make_method(name, 3, **kwargs)
+    xs = tuple(jnp.asarray(np.random.default_rng(0).normal(size=(8, 16, c)), jnp.float32)
+               for c in (2, 13, 24))
+    ys = tuple(jnp.asarray(np.arange(8) % 2, jnp.int32) for _ in range(3))
+    state, partition = init_train_state(model, tx, mtl, xs, seed=0)
+    settings = StepSettings(n_streams=3, wm="ce", synchronized=True)
+    ctx = make_loss_ctx(settings, [(5, 3)] * 3)
+    ta, _ = make_apply_adapters(model.apply, settings)
+    step = jax.jit(make_train_step(ta, tx, settings, mtl, partition))
+    batch = {"xs": xs, "ys": ys, "valid": jnp.ones((8,), jnp.float32)}
+    new_state, metrics = step(state, batch, jax.random.PRNGKey(0), ctx)
+    assert np.all(np.isfinite(np.asarray(metrics["losses"])))
+    # params actually changed
+    diffs = [
+        float(np.abs(np.asarray(a) - np.asarray(b)).max())
+        for a, b in zip(
+            jax.tree_util.tree_leaves(state.params),
+            jax.tree_util.tree_leaves(new_state.params),
+        )
+    ]
+    assert max(diffs) > 0
+    # second step with the carried state (exercises FAMO/DWA/Nash state)
+    new_state2, metrics2 = step(new_state, batch, jax.random.PRNGKey(1), ctx)
+    assert np.all(np.isfinite(np.asarray(metrics2["losses"])))
+
+
+def test_step_timer():
+    from gaitpd.runtime.profiling import StepTimer
+
+    t = StepTimer()
+    t.add(100, 2)
+    s = t.summary()
+    assert s["windows"] == 100 and s["steps"] == 2
+    assert s["windows_per_sec"] > 0
