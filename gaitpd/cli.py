@@ -78,6 +78,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="enable per-fold orbax checkpoints under this dir")
     p.add_argument("--resume", action="store_true",
                    help="resume folds from their latest checkpoint")
+    p.add_argument("--save_loss_plots", action="store_true",
+                   help="save per-fold train/eval loss curves")
+    p.add_argument("--modality_dropout", type=float, default=0.0,
+                   help="train-time random modality dropout probability "
+                        "(weargait; relaxed-input training)")
     return p
 
 
@@ -108,6 +113,7 @@ def run_fbg_fog(ns: argparse.Namespace):
         mtl_method=ns.mtl_method,
         ckpt_dir=ns.ckpt_dir,
         resume=ns.resume,
+        save_loss_plots=ns.save_loss_plots,
     )
     return main(args)
 
@@ -148,6 +154,7 @@ def run_weargait(ns: argparse.Namespace, baseline: str = None):
         mtl_method=ns.mtl_method,
         ckpt_dir=ns.ckpt_dir,
         resume=ns.resume,
+        modality_dropout=ns.modality_dropout,
     )
     return run_cv(args)
 

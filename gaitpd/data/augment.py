@@ -224,3 +224,45 @@ def count_labels(dataset, all_labels) -> Dict:
         labels, n = np.unique(dataset.labels, return_counts=True)
         counts.update(dict(zip(labels, n)))
     return counts
+
+
+def rotate_around_z_axis(points: np.ndarray, theta_deg: float) -> np.ndarray:
+    """reference common.py:47-50."""
+    c, s = np.cos(np.radians(theta_deg)), np.sin(np.radians(theta_deg))
+    rot = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]])
+    return points @ rot.T
+
+
+def visualize_sequence(seq: np.ndarray, name: str, elev: int = 45, azim: int = 20):
+    """Animated 3-D skeleton GIF (reference common.py:53-90). Host-side
+    matplotlib; used for data QA, not in the training path."""
+    from matplotlib import pyplot as plt
+    from matplotlib.animation import FuncAnimation
+
+    seq = np.asarray(seq).copy()
+    for j in range(seq.shape[1]):
+        seq[:, j, :] = rotate_around_z_axis(seq[:, j, :], 90)
+
+    mins = np.min(seq, axis=(0, 1))
+    maxs = np.max(seq, axis=(0, 1))
+    fig = plt.figure()
+    ax = fig.add_subplot(111, projection="3d")
+
+    def update(frame):
+        ax.clear()
+        ax.set_xlim3d([mins[0], maxs[0]])
+        ax.set_ylim3d([mins[1], maxs[1]])
+        ax.set_zlim3d([mins[2], maxs[2]])
+        ax.view_init(elev=elev, azim=azim)
+        ax.set_box_aspect(list(maxs - mins))
+        ax.set_title(f"Frame: {frame}")
+        pts = seq[frame]
+        if pts.shape[0] >= 17:
+            for a, b in H36M_CONNECTIONS_FULL:
+                ax.plot(*zip(pts[a], pts[b]))
+        ax.scatter(pts[:, 0], pts[:, 1], pts[:, 2])
+
+    anim = FuncAnimation(fig, update, frames=seq.shape[0], interval=1)
+    anim.save(f"{name}.gif", writer="pillow")
+    plt.close(fig)
+    return f"{name}.gif"

@@ -66,6 +66,7 @@ class FbgFogArgs:
     mtl_method: str = "cagrad"  # any gaitpd.learning.mtl.METHODS key
     ckpt_dir: Optional[str] = None  # enable per-fold orbax checkpoints
     resume: bool = False  # resume folds from their latest checkpoint
+    save_loss_plots: bool = False  # per-fold loss-curve PNGs
 
 
 def choose_model(args: FbgFogArgs, dims):
@@ -247,6 +248,13 @@ def train_one_fold(
         if not improved and stopper.stop:
             print(f"[Fold {fold_idx}] Early stopping at epoch {ep+1}")
             break
+
+    if args.save_loss_plots:
+        # reference train/utilities.py:205-224 behind --save_loss_plots
+        M.save_loss_curve(
+            "loss_plots", fold_idx, train_losses, val_losses,
+            tag=f"{dataset}_{args.modality}_{args.wm}_loss_curve",
+        )
 
     best = stopper.best_payload
     if best is None:

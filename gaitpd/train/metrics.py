@@ -103,3 +103,55 @@ class Throughput:
     def per_sec(self) -> float:
         dt = time.perf_counter() - self.t0
         return self.windows / dt if dt > 0 else 0.0
+
+
+def count_params(params) -> int:
+    """Trainable parameter count of a pytree (reference
+    training_common.py:131-133)."""
+    import jax
+
+    return sum(int(np.prod(x.shape)) for x in jax.tree_util.tree_leaves(params))
+
+
+def print_class_balance(counts_per_stream, num_classes: int, tag: str = "EVAL",
+                        label_names=None, stream_names=("skel", "sens")):
+    """Class-balance table (reference training_common.py:106-128)."""
+    names = label_names or [str(i) for i in range(num_classes)]
+    totals = [max(1, int(np.sum(c))) for c in counts_per_stream]
+    print(f"\n[{tag}] class balance")
+    header = "class " + "  ".join(f"{s}_cnt  {s}_%" for s in stream_names)
+    print(header)
+    for i, name in enumerate(names):
+        cells = []
+        for c, tot in zip(counts_per_stream, totals):
+            cnt = int(c[i]) if i < len(c) else 0
+            cells.append(f"{cnt:9d}  {cnt / tot * 100.0:6.1f}%")
+        print(f"{name:>5} " + "  ".join(cells))
+    return counts_per_stream
+
+
+def save_loss_curve(out_dir: str, fold_idx: int, train_losses, val_losses,
+                    tag: str = "loss_curve"):
+    """Per-fold train/eval loss PNG (reference train/utilities.py:205-224)."""
+    import os
+
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    epochs = list(range(1, len(train_losses) + 1))
+    plt.figure()
+    plt.plot(epochs, train_losses, label="Train Loss")
+    plt.plot(epochs, val_losses, label="Eval Loss")
+    plt.xlabel("Epoch")
+    plt.ylabel("Loss")
+    plt.title(f"Fold {fold_idx} Loss Curves")
+    plt.legend()
+    plt.tight_layout()
+    fold_dir = os.path.join(out_dir, f"fold_{fold_idx}")
+    os.makedirs(fold_dir, exist_ok=True)
+    path = os.path.join(fold_dir, f"{tag}.png")
+    plt.savefig(path)
+    plt.close()
+    return path

@@ -59,6 +59,10 @@ class StepSettings:
     private_grads: str = "sum"  # see gaitpd.learning.mtl.mtl_grads
     loss_reduction: str = "mean"  # combined scalar: mean|sum of branch losses
     dropout: bool = False  # thread a dropout rng through train applies
+    # relaxed-input TRAINING: zero-fill each input stream with this
+    # probability per batch (at least one stream always stays on) — the
+    # train-time counterpart of the masked eval (BASELINE.json config 4)
+    modality_dropout: float = 0.0
 
 
 def make_apply_adapters(apply_fn, settings: "StepSettings"):
@@ -153,6 +157,17 @@ def make_multitask_loss_fn(
     train_apply(variables, xs, rng, epoch) -> logits tuple (one per head)."""
 
     def loss_fn(params, xs, ys, valid, ctx, rng, epoch):
+        if settings.modality_dropout > 0:
+            n_in = len(xs)
+            k_drop, k_force = jax.random.split(jax.random.fold_in(rng, 555))
+            keep = jax.random.bernoulli(
+                k_drop, 1.0 - settings.modality_dropout, (n_in,)
+            )
+            forced = jax.nn.one_hot(
+                jax.random.randint(k_force, (), 0, n_in), n_in, dtype=bool
+            )
+            keep = jnp.where(jnp.any(keep), keep, forced)
+            xs = tuple(jnp.where(keep[i], x, jnp.zeros_like(x)) for i, x in enumerate(xs))
         logits = train_apply(params, xs, jax.random.fold_in(rng, 777), epoch)
         if not isinstance(logits, (tuple, list)):
             logits = (logits,)

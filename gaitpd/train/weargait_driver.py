@@ -84,6 +84,7 @@ class WearGaitArgs:
     mtl_method: str = "cagrad"  # any gaitpd.learning.mtl.METHODS key
     ckpt_dir: Optional[str] = None
     resume: bool = False
+    modality_dropout: float = 0.0  # relaxed-input training (see step.py)
 
 
 def build_model(args: WearGaitArgs, sync_flag: bool):
@@ -217,6 +218,7 @@ def run_fold(
         drw_warmup=args.drw_warmup,
         consistency_lambda=0.0,
         private_grads="sum_plus_own",
+        modality_dropout=args.modality_dropout,
     )
     ctx = make_loss_ctx(settings, counts)
 
