@@ -80,6 +80,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="resume folds from their latest checkpoint")
     p.add_argument("--save_loss_plots", action="store_true",
                    help="save per-fold train/eval loss curves")
+    p.add_argument("--matmul_precision", type=str, default="highest",
+                   choices=["default", "high", "highest"],
+                   help="MXU matmul precision for training (highest = f32 parity)")
     p.add_argument("--modality_dropout", type=float, default=0.0,
                    help="train-time random modality dropout probability "
                         "(weargait; relaxed-input training)")
@@ -161,6 +164,11 @@ def run_weargait(ns: argparse.Namespace, baseline: str = None):
 
 def main(argv=None):
     ns = build_parser().parse_args(argv)
+    # Training defaults to f32-exact matmuls for metric parity with the fp32
+    # torch reference; pass --matmul_precision default for bf16-MXU speed.
+    import jax
+
+    jax.config.update("jax_default_matmul_precision", ns.matmul_precision)
     print("Arguments:", ns)
     if ns.mode == "fbg_fog":
         return run_fbg_fog(ns)
