@@ -114,10 +114,35 @@ def fit_zscore_stats(x: jnp.ndarray, axis=0) -> Tuple[jnp.ndarray, jnp.ndarray]:
 
 
 def window_stream(x: jnp.ndarray, win: int, hop: int) -> jnp.ndarray:
-    """(T, C) -> (n_win, win, C) strict full windows as one gather; n_win is
-    static given (T, win, hop) so this stays jit-friendly."""
+    """(T, C) -> (n_win, win, C) strict full windows; n_win is static given
+    (T, win, hop) so this stays jit-friendly.
+
+    Fast paths (profiled on v5e — a generic gather dominated the fused
+    preproc+forward pipeline): hop == win is a pure reshape; win % hop == 0
+    interleaves win//hop phase-shifted reshapes; only irregular hops fall
+    back to the gather."""
     t = x.shape[0]
     n = 0 if t < win else (t - win) // hop + 1
+    if n <= 0:
+        return jnp.zeros((0, win) + x.shape[1:], x.dtype)
+    if hop == win:
+        return x[: n * win].reshape((n,) + (win,) + x.shape[1:])
+    if win % hop == 0:
+        # windows starting at phase j*hop come from the reshape of x[j*hop:]
+        stride_groups = win // hop
+        outs = []
+        for j in range(stride_groups):
+            xo = x[j * hop :]
+            nj = (xo.shape[0]) // win
+            outs.append(xo[: nj * win].reshape((nj, win) + x.shape[1:]))
+        # interleave groups back into start-order
+        max_nj = max(o.shape[0] for o in outs)
+        padded = [
+            jnp.pad(o, ((0, max_nj - o.shape[0]),) + ((0, 0),) * (o.ndim - 1))
+            for o in outs
+        ]
+        inter = jnp.stack(padded, axis=1).reshape((-1, win) + x.shape[1:])
+        return inter[:n]
     starts = jnp.arange(n) * hop
     idx = starts[:, None] + jnp.arange(win)[None, :]
     return x[idx]
