@@ -50,6 +50,7 @@ def make_fog_reader(
     pose_t: int = 101,
     sensor_t: int = 426,
     seed: int = 0,
+    strength: float = 1.0,
 ) -> SyntheticFoGReader:
     rng = np.random.default_rng(seed)
     pose_dict, sensor_dict, labels = {}, {}, {}
@@ -58,9 +59,9 @@ def make_fog_reader(
         label = s % n_classes
         labels[sid] = [label] * segments
         for i in range(segments):
-            pose = _signal(rng, pose_t, 21, label).reshape(pose_t, 7, 3)
+            pose = _signal(rng, pose_t, 21, label, strength).reshape(pose_t, 7, 3)
             pose_dict[f"{sid}_{i}"] = pose
-            sensor_dict[f"{sid}_{i}"] = _signal(rng, sensor_t, 6, label)
+            sensor_dict[f"{sid}_{i}"] = _signal(rng, sensor_t, 6, label, strength)
     return SyntheticFoGReader(pose_dict, sensor_dict, labels)
 
 

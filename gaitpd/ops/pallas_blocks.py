@@ -157,10 +157,12 @@ def stream_block_reference(x, w, b, t_out: int = 8, act_name: str = "relu"):
 # ---------------------------------------------------------------------------
 
 
-def _xattn_kernel(a_ref, b_ref, o_ref, *, kv_tile, scale):
+def _xattn_kernel(a_ref, b_ref, o_ref, *, kv_tile, scale, tk_valid):
     """Grid: (batch, q_blocks). Online-softmax over kv blocks: for each q
     tile keep running (max, denom, weighted-sum) while streaming kv tiles —
-    memory O(Tq_tile * d), never materialising the full (T, T) score map."""
+    memory O(Tq_tile * d), never materialising the full (T, T) score map.
+    KV positions >= tk_valid are zero padding; their scores are masked to
+    -inf so any window length runs with full-size tiles."""
     a = a_ref[0]  # (TQ, d)
     tkv = b_ref.shape[1]
     n_kv = tkv // kv_tile
@@ -173,6 +175,10 @@ def _xattn_kernel(a_ref, b_ref, o_ref, *, kv_tile, scale):
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         ) * scale  # (TQ, TK)
+        kv_pos = j * kv_tile + jax.lax.broadcasted_iota(
+            jnp.int32, s.shape, dimension=1
+        )
+        s = jnp.where(kv_pos < tk_valid, s, -jnp.inf)
         m_new = jnp.maximum(m, jnp.max(s, axis=1))
         corr = jnp.exp(m - m_new)
         p = jnp.exp(s - m_new[:, None])
@@ -211,29 +217,27 @@ def cheap_xattn_pallas(
         tk = b.shape[1]
         qt = min(q_tile, tq)
         kt = min(kv_tile, tk)
-        # pad sequence dims to tile multiples; padded kv entries would skew
-        # softmax, so tiles must divide (guaranteed by the pad below for q,
-        # and by choosing kt dividing tk for kv)
-        while tk % kt:
-            kt //= 2
-        kt = max(kt, 1)
+        # pad both sequence dims up to tile multiples; padded kv positions
+        # are masked to -inf inside the kernel (tk_valid)
         pad_q = (-tq) % qt
+        pad_k = (-tk) % kt
         a_p = jnp.pad(a, ((0, 0), (0, pad_q), (0, 0)))
+        b_p = jnp.pad(b, ((0, 0), (0, pad_k), (0, 0)))
         scale = 1.0 / np.sqrt(d)
         out = pl.pallas_call(
-            functools.partial(_xattn_kernel, kv_tile=kt, scale=scale),
+            functools.partial(_xattn_kernel, kv_tile=kt, scale=scale, tk_valid=tk),
             grid=(bsz, (tq + pad_q) // qt),
             in_specs=[
                 pl.BlockSpec((1, qt, d), lambda i, j: (i, j, 0),
                              memory_space=pl.ANY if interpret else pltpu.VMEM),
-                pl.BlockSpec((1, tk, d), lambda i, j: (i, 0, 0),
+                pl.BlockSpec((1, tk + pad_k, d), lambda i, j: (i, 0, 0),
                              memory_space=pl.ANY if interpret else pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec((1, qt, d), lambda i, j: (i, j, 0),
                                    memory_space=pl.ANY if interpret else pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((bsz, tq + pad_q, d), jnp.float32),
             interpret=interpret,
-        )(a_p, b)
+        )(a_p, b_p)
         return out[:, :tq, :]
 
     def ref(a, b):
