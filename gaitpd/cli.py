@@ -83,6 +83,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--matmul_precision", type=str, default="highest",
                    choices=["default", "high", "highest"],
                    help="MXU matmul precision for training (highest = f32 parity)")
+    p.add_argument("--data_parallel", action="store_true",
+                   help="shard batches over all devices (jax.sharding.Mesh DP)")
     p.add_argument("--modality_dropout", type=float, default=0.0,
                    help="train-time random modality dropout probability "
                         "(weargait; relaxed-input training)")
@@ -117,6 +119,7 @@ def run_fbg_fog(ns: argparse.Namespace):
         ckpt_dir=ns.ckpt_dir,
         resume=ns.resume,
         save_loss_plots=ns.save_loss_plots,
+        mesh=getattr(ns, "mesh", None),
     )
     return main(args)
 
@@ -158,6 +161,7 @@ def run_weargait(ns: argparse.Namespace, baseline: str = None):
         ckpt_dir=ns.ckpt_dir,
         resume=ns.resume,
         modality_dropout=ns.modality_dropout,
+        mesh=getattr(ns, "mesh", None),
     )
     return run_cv(args)
 
@@ -169,6 +173,12 @@ def main(argv=None):
     import jax
 
     jax.config.update("jax_default_matmul_precision", ns.matmul_precision)
+    ns.mesh = None
+    if ns.data_parallel:
+        from gaitpd.runtime.mesh import make_mesh
+
+        ns.mesh = make_mesh()
+        print(f"Data-parallel mesh over {len(jax.devices())} device(s)")
     print("Arguments:", ns)
     if ns.mode == "fbg_fog":
         return run_fbg_fog(ns)

@@ -18,6 +18,15 @@ through the jnp reference implementation (jax.vjp of the mathematically
 identical XLA path), so they are drop-in replacements under autodiff; unit
 tests assert pallas == jnp to fp32 tolerance (tests/test_pallas.py, run in
 interpret mode on CPU, compiled on TPU).
+
+Measured on v5e (B=12288, T=64, C=12->16, f32): XLA's fusion of the same
+stream block runs ~4.5x FASTER than this kernel — the 12->128 lane padding
+wastes >90% of each MXU pass at these channel widths, and XLA picks better
+layouts. The framework therefore keeps the XLA path as the default encoder
+compute (gaitpd.models.encoders); these kernels are retained for (a) the
+blocked attention's O(T) memory at long window lengths where XLA would
+materialise (B,T,T), and (b) as the seam where sequence-parallel attention
+would attach (SURVEY.md §5).
 """
 
 from __future__ import annotations
@@ -85,7 +94,20 @@ def _stream_block_kernel(x_ref, w_ref, b_ref, pool_ref, o_ref, *, k, act):
     ).transpose(0, 2, 1)
 
 
-def _stream_block_pallas(x, w, b, pool, act, batch_tile=128, interpret=None):
+def _vmem_batch_tile(t_padded: int, t: int, t_out: int, budget_mb: float = 6.0) -> int:
+    """Pick the largest power-of-two batch tile whose VMEM footprint stays
+    under budget. Mosaic pads the minor (channel) dim to 128 lanes, so the
+    per-sample cost is dominated by t*128 f32 lanes regardless of C; double
+    buffering doubles the in/out tiles."""
+    per_sample = 4 * 128 * (2 * t_padded + t + 2 * t_out)  # bytes
+    tb = int((budget_mb * 1024 * 1024) // per_sample)
+    p = 1
+    while p * 2 <= tb:
+        p *= 2
+    return max(8, p)
+
+
+def _stream_block_pallas(x, w, b, pool, act, batch_tile=None, interpret=None):
     bsz, t, cin = x.shape
     k, _, cout = w.shape
     t_out = pool.shape[1]
@@ -93,6 +115,8 @@ def _stream_block_pallas(x, w, b, pool, act, batch_tile=128, interpret=None):
     xp = jnp.pad(x, ((0, 0), (pad, pad), (0, 0)))
     if interpret is None:
         interpret = _interpret_default()
+    if batch_tile is None:
+        batch_tile = _vmem_batch_tile(t + 2 * pad, t, t_out)
     tb = min(batch_tile, bsz)
     grid = (pl.cdiv(bsz, tb),)
     return pl.pallas_call(

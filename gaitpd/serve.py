@@ -1,0 +1,147 @@
+"""Batch inference engine: raw sensor streams -> PD predictions.
+
+Production serving path (framework-new; the reference has no inference
+entrypoint at all — its best models live and die inside the CV loop,
+weargait_train.py:596-614). The engine:
+
+* restores per-fold parameters from an orbax checkpoint (or takes them
+  in-memory),
+* runs the fused z-score -> window -> forward -> masked-ensemble pipeline
+  as ONE jitted function (the bench.py hot path),
+* accepts any subset of sensors via the relaxed-input mask — missing
+  modalities at serving time need no recompile and no zero-filled fakes
+  from the caller.
+
+    engine = WearGaitEngine(params, stats, win=64, hop=64)
+    probs = engine.predict_streams({"imu": imu_array})   # walkway/insole absent
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gaitpd.data.pipeline import window_stream, zscore
+from gaitpd.models.multitask import WearGaitThreeModal
+
+MODALITIES = ("walkway", "insole", "imu")
+CHANNELS = {"walkway": 2, "insole": 13, "imu": 24}
+
+
+class WearGaitEngine:
+    """Relaxed-input WearGait classifier over raw 30 Hz streams."""
+
+    def __init__(
+        self,
+        params,
+        stats: Optional[Dict[str, Tuple[np.ndarray, np.ndarray]]] = None,
+        *,
+        win: int = 64,
+        hop: int = 64,
+        model: Optional[WearGaitThreeModal] = None,
+        num_classes: int = 2,
+    ):
+        self.model = model or WearGaitThreeModal(synchronized=True,
+                                                 num_classes=num_classes)
+        self.params = params
+        self.win = win
+        self.hop = hop
+        self.stats = {}
+        for m in MODALITIES:
+            if stats and m in stats:
+                mean, std = stats[m]
+            else:
+                mean = np.zeros(CHANNELS[m], np.float32)
+                std = np.ones(CHANNELS[m], np.float32)
+            self.stats[m] = (jnp.asarray(mean), jnp.asarray(std))
+
+        @functools.partial(jax.jit, static_argnums=())
+        def _predict(params, xw, xi, xm, mask):
+            # zero-fill disabled streams; ensemble only enabled heads
+            xs = [xw, xi, xm]
+            xs = [jnp.where(mask[k], x, jnp.zeros_like(x)) for k, x in enumerate(xs)]
+            logits = self.model.apply(params, *xs)
+            probs = jnp.stack([jax.nn.softmax(lg, -1) for lg in logits])
+            mk = mask.astype(probs.dtype)[:, None, None]
+            return jnp.sum(probs * mk, 0) / jnp.maximum(jnp.sum(mk), 1.0)
+
+        self._predict = _predict
+
+        @jax.jit
+        def _preproc(stream, mean, std):
+            return window_stream(zscore(stream, mean, std), self.win, self.hop)
+
+        self._preproc = _preproc
+
+    @classmethod
+    def from_checkpoint(cls, ckpt_root, fold: int = 1, which: str = "best", **kw):
+        """Load the fold's best parameters saved by the training driver
+        (--ckpt_dir)."""
+        import json
+        from pathlib import Path
+
+        import orbax.checkpoint as ocp
+
+        path = Path(ckpt_root) / f"fold{fold}" / which
+        payload = ocp.PyTreeCheckpointer().restore(path.resolve())
+        stats = None
+        stats_path = Path(ckpt_root) / "stats.json"
+        if stats_path.exists():
+            raw = json.loads(stats_path.read_text())
+            stats = {
+                m: (np.asarray(v[0], np.float32), np.asarray(v[1], np.float32))
+                for m, v in raw.items()
+            }
+        return cls(payload["params"], stats, **kw)
+
+    # ------------------------------------------------------------------
+    def predict_windows(
+        self, windows: Dict[str, np.ndarray]
+    ) -> np.ndarray:
+        """windows: modality -> (N, win, C) pre-windowed batches; absent
+        modalities are masked out. Returns (N, num_classes) probabilities."""
+        present = [m for m in MODALITIES if m in windows]
+        if not present:
+            raise ValueError("at least one modality required")
+        n = windows[present[0]].shape[0]
+        xs, mask = [], []
+        for m in MODALITIES:
+            if m in windows:
+                xs.append(jnp.asarray(windows[m], jnp.float32))
+                mask.append(True)
+            else:
+                xs.append(jnp.zeros((n, self.win, CHANNELS[m]), jnp.float32))
+                mask.append(False)
+        probs = self._predict(self.params, *xs, jnp.asarray(mask))
+        return np.asarray(probs)
+
+    def predict_streams(
+        self, streams: Dict[str, np.ndarray]
+    ) -> Dict[str, np.ndarray]:
+        """streams: modality -> (T, C) raw 30 Hz stream (any subset).
+        Windows each stream, classifies per window, and aggregates to a
+        subject-level probability (mean over windows).
+        Returns {"window_probs": (N, C), "subject_probs": (C,), "pred": int}.
+        """
+        windows = {}
+        for m, x in streams.items():
+            if m not in CHANNELS:
+                raise ValueError(f"unknown modality {m}")
+            mean, std = self.stats[m]
+            w = self._preproc(jnp.asarray(x, jnp.float32), mean, std)
+            windows[m] = w
+        n = min(w.shape[0] for w in windows.values())
+        if n == 0:
+            raise ValueError(f"streams shorter than one window ({self.win})")
+        windows = {m: np.asarray(w[:n]) for m, w in windows.items()}
+        probs = self.predict_windows(windows)
+        subject = probs.mean(axis=0)
+        return {
+            "window_probs": probs,
+            "subject_probs": subject,
+            "pred": int(subject.argmax()),
+        }

@@ -1,0 +1,66 @@
+"""Serving engine tests: relaxed-input prediction over raw streams and
+pre-windowed batches, plus checkpoint loading."""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+from gaitpd.models.multitask import WearGaitThreeModal
+from gaitpd.serve import CHANNELS, WearGaitEngine
+
+
+@pytest.fixture(scope="module")
+def engine():
+    model = WearGaitThreeModal(synchronized=True)
+    xs = tuple(jnp.ones((2, 64, c)) for c in (2, 13, 24))
+    params = model.init(jax.random.PRNGKey(0), *xs)
+    return WearGaitEngine(params, win=64, hop=64)
+
+
+def test_predict_windows_full_and_subsets(engine):
+    rng = np.random.default_rng(0)
+    wins = {m: rng.normal(size=(5, 64, c)).astype(np.float32) for m, c in CHANNELS.items()}
+    p_full = engine.predict_windows(wins)
+    assert p_full.shape == (5, 2)
+    np.testing.assert_allclose(p_full.sum(1), 1.0, rtol=1e-5)
+    # IMU only — shape-stable, different probabilities
+    p_imu = engine.predict_windows({"imu": wins["imu"]})
+    assert p_imu.shape == (5, 2)
+    assert not np.allclose(p_full, p_imu)
+
+
+def test_predict_streams_subject_level(engine):
+    rng = np.random.default_rng(1)
+    streams = {
+        "insole": rng.normal(size=(200, 13)).astype(np.float32),
+        "imu": rng.normal(size=(190, 24)).astype(np.float32),
+    }
+    out = engine.predict_streams(streams)
+    # min(200//64, 190//64) = 2 windows
+    assert out["window_probs"].shape == (2, 2)
+    assert out["subject_probs"].shape == (2,)
+    assert out["pred"] in (0, 1)
+
+
+def test_predict_streams_too_short(engine):
+    with pytest.raises(ValueError):
+        engine.predict_streams({"imu": np.zeros((10, 24), np.float32)})
+
+
+def test_engine_from_checkpoint(tmp_path, engine):
+    from gaitpd.train.checkpoint import save_fold_checkpoint
+    from gaitpd.train.step import TrainState
+
+    state = TrainState(
+        params=engine.params, opt_state={}, mtl_state={},
+        epoch=jnp.asarray(3, jnp.int32),
+    )
+    save_fold_checkpoint(tmp_path, 1, state, best_metric=90.0, latest=False)
+    eng2 = WearGaitEngine.from_checkpoint(tmp_path, fold=1, which="best")
+    rng = np.random.default_rng(2)
+    wins = {"imu": rng.normal(size=(3, 64, 24)).astype(np.float32)}
+    np.testing.assert_allclose(
+        eng2.predict_windows(wins), engine.predict_windows(wins), rtol=1e-5
+    )
