@@ -142,14 +142,27 @@ def group_by_subject_fn(
 
 
 def batch_index_matrix(
-    order: np.ndarray, batch_size: int, pad_multiple: int = 1
+    order: np.ndarray,
+    batch_size: int,
+    pad_multiple: int = 1,
+    quantize_batches: bool = True,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Chunk a sample order into a padded (n_batches, B) index matrix plus a
     matching validity mask; B is padded up so static-shape jitted steps cover
-    the partial final batch exactly."""
+    the partial final batch exactly.
+
+    quantize_batches rounds n_batches up to a power of two (fully-invalid
+    tail batches contribute zero loss/metrics): epoch-scan lengths then take
+    only log2 distinct values, so the jitted epoch functions compile once and
+    are reused across CV folds of slightly different sizes."""
     n = len(order)
     b = batch_size
     n_batches = max(1, -(-n // b))
+    if quantize_batches:
+        p = 1
+        while p < n_batches:
+            p *= 2
+        n_batches = p
     total = n_batches * b
     idx = np.zeros(total, dtype=np.int32)
     idx[:n] = order

@@ -155,15 +155,24 @@ def run_train_epoch(
     state, metrics = runner.train_epoch(
         state, data.xs, data.ys, idx, valid, rngs, ctx
     )
+    res = _aggregate(metrics)
+    return state, res
+
+
+def _aggregate(metrics) -> "EpochResult":
+    """Aggregate per-batch metrics, excluding fully-padded (n==0) batches
+    introduced by power-of-two epoch quantization."""
     losses = np.asarray(metrics["losses"])  # (n_batches, K)
     correct = np.asarray(metrics["correct"])  # (n_batches, K)
     n = np.asarray(metrics["n"])  # (n_batches,)
-    res = EpochResult(
-        loss=losses.mean(0),
+    real = n > 0
+    n_real = max(1, int(real.sum()))
+    return EpochResult(
+        loss=losses[real].sum(0) / n_real,
         acc=correct.sum(0) / max(1.0, n.sum()) * 100.0,
-        acc_batchmean=(correct / np.maximum(n[:, None], 1.0)).mean(0) * 100.0,
+        acc_batchmean=(correct[real] / np.maximum(n[real, None], 1.0)).sum(0)
+        / n_real * 100.0,
     )
-    return state, res
 
 
 def run_eval_epoch(
@@ -191,16 +200,10 @@ def run_eval_epoch(
         state.params, data.exs, data.eys, idx, valid, rngs, ctx, state.epoch,
         jnp.asarray(mask),
     )
-    losses = np.asarray(outs["losses"])
-    correct = np.asarray(outs["correct"])
     n = np.asarray(outs["n"])
     ens_correct = np.asarray(outs["ens_correct"])
-    res = EpochResult(
-        loss=losses.mean(0),
-        acc=correct.sum(0) / max(1.0, n.sum()) * 100.0,
-        acc_batchmean=(correct / np.maximum(n[:, None], 1.0)).mean(0) * 100.0,
-        ens_acc=float(ens_correct.sum() / max(1.0, n.sum()) * 100.0),
-    )
+    res = _aggregate(outs)
+    res.ens_acc = float(ens_correct.sum() / max(1.0, n.sum()) * 100.0)
     if collect:
         vmask = valid_flat.reshape(-1) > 0
         preds = np.asarray(outs["preds"])  # (n_batches, K, B)

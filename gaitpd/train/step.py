@@ -253,10 +253,18 @@ def make_train_step(
             )
         updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
+        # fully-padded batches (quantized epoch tails) must be exact no-ops:
+        # weight decay/momentum would otherwise still move the parameters
+        has_valid = jnp.sum(valid) > 0
+        pick = lambda new, old: jax.tree_util.tree_map(  # noqa: E731
+            lambda a, b: jnp.where(has_valid, a, b), new, old
+        )
         metrics = _batch_metrics(logits, ys, valid, ls)
         return (
             state.replace(
-                params=new_params, opt_state=new_opt_state, mtl_state=new_mtl_state
+                params=pick(new_params, state.params),
+                opt_state=pick(new_opt_state, state.opt_state),
+                mtl_state=pick(new_mtl_state, state.mtl_state),
             ),
             metrics,
         )

@@ -110,3 +110,33 @@ def test_step_timer():
     s = t.summary()
     assert s["windows"] == 100 and s["steps"] == 2
     assert s["windows_per_sec"] > 0
+
+
+def test_padded_batch_is_noop():
+    """A fully-invalid batch (quantized epoch tail) must not move params —
+    weight decay/momentum are gated off."""
+    from gaitpd.train.optim import sgd_torch
+    from gaitpd.train.step import StepSettings, make_apply_adapters, make_loss_ctx, make_train_step
+    from gaitpd.models.multitask import WearGaitThreeModal
+    from gaitpd.train.loop import init_train_state
+
+    model = WearGaitThreeModal(synchronized=True, enc_out_ch=4, shared_out_ch=4)
+    tx = sgd_torch(1e-2, weight_decay=1e-2)
+    xs = tuple(jnp.ones((4, 16, c)) for c in (2, 13, 24))
+    state, _ = init_train_state(model, tx, None, xs, seed=0)
+    settings = StepSettings(n_streams=3, wm="ce", synchronized=True)
+    ctx = make_loss_ctx(settings, [(5, 3)] * 3)
+    ta, _ = make_apply_adapters(model.apply, settings)
+    step = jax.jit(make_train_step(ta, tx, settings, None, None))
+    batch = {
+        "xs": xs,
+        "ys": tuple(jnp.zeros((4,), jnp.int32) for _ in range(3)),
+        "valid": jnp.zeros((4,), jnp.float32),  # fully padded
+    }
+    new_state, metrics = step(state, batch, jax.random.PRNGKey(0), ctx)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(state.params),
+        jax.tree_util.tree_leaves(new_state.params),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert float(metrics["n"]) == 0.0

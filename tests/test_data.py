@@ -126,10 +126,15 @@ def test_async_epoch_wraparound():
 
 
 def test_batch_index_matrix_padding():
-    idx, valid = S.batch_index_matrix(np.arange(10), 4)
+    idx, valid = S.batch_index_matrix(np.arange(10), 4, quantize_batches=False)
     assert idx.shape == (3, 4)
     assert valid.sum() == 10
     assert valid[2, 2:].sum() == 0
+    # power-of-two quantization adds fully-invalid tail batches
+    idx_q, valid_q = S.batch_index_matrix(np.arange(10), 4)
+    assert idx_q.shape == (4, 4)
+    assert valid_q.sum() == 10
+    assert valid_q[3].sum() == 0
 
 
 def test_fixed_balanced_folds():
