@@ -52,3 +52,25 @@ def replicate(tree, mesh: Mesh):
 
 def pad_to_multiple(n: int, k: int) -> int:
     return -(-n // k) * k
+
+
+def make_mesh_2d(
+    n_slices: int,
+    per_slice: Optional[int] = None,
+    dcn_axis: str = "slices",
+    ici_axis: str = "data",
+) -> Mesh:
+    """Two-level mesh for multi-slice scaling: an outer DCN axis over slices
+    and an inner ICI axis within each slice (SURVEY.md §5 'optional outer DCN
+    axis'). Batch sharding over BOTH axes keeps the gradient psum hierarchical
+    (XLA reduces within-slice over ICI first, then across slices over DCN)."""
+    devs = jax.devices()
+    per_slice = per_slice or len(devs) // n_slices
+    n = n_slices * per_slice
+    grid = np.asarray(devs[:n]).reshape(n_slices, per_slice)
+    return Mesh(grid, (dcn_axis, ici_axis))
+
+
+def batch_sharding_2d(mesh: Mesh) -> NamedSharding:
+    """Shard the batch over both mesh axes (DP across slices and chips)."""
+    return NamedSharding(mesh, P(mesh.axis_names))

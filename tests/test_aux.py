@@ -140,3 +140,34 @@ def test_padded_batch_is_noop():
     ):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     assert float(metrics["n"]) == 0.0
+
+
+def test_two_level_mesh_dp():
+    """Hierarchical DP over a (slices=2, data=4) mesh: one CAGrad train step
+    with the batch sharded over both axes."""
+    from gaitpd.runtime.mesh import batch_sharding_2d, make_mesh_2d
+    from gaitpd.train.optim import sgd_torch
+    from gaitpd.train.step import StepSettings, make_apply_adapters, make_loss_ctx, make_train_step
+    from gaitpd.models.multitask import WearGaitThreeModal
+    from gaitpd.train.loop import init_train_state
+    from gaitpd.learning.mtl import make_method
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = make_mesh_2d(2, 4)
+    sh = batch_sharding_2d(mesh)
+    model = WearGaitThreeModal(synchronized=True, enc_out_ch=4, shared_out_ch=4)
+    tx = sgd_torch(1e-3)
+    mtl = make_method("cagrad", 3, c=0.5)
+    b = 16
+    xs = tuple(jax.device_put(jnp.ones((b, 16, c)), sh) for c in (2, 13, 24))
+    ys = tuple(jax.device_put(jnp.zeros((b,), jnp.int32), sh) for _ in range(3))
+    state, part = init_train_state(model, tx, mtl, tuple(x[:2] for x in xs))
+    settings = StepSettings(n_streams=3, wm="gcl", synchronized=True,
+                            private_grads="sum_plus_own")
+    ctx = make_loss_ctx(settings, [(5, 3)] * 3)
+    ta, _ = make_apply_adapters(model.apply, settings)
+    step = jax.jit(make_train_step(ta, tx, settings, mtl, part))
+    batch = {"xs": xs, "ys": ys, "valid": jax.device_put(jnp.ones((b,)), sh)}
+    new_state, metrics = step(state, batch, jax.random.PRNGKey(0), ctx)
+    assert np.all(np.isfinite(np.asarray(metrics["losses"])))
