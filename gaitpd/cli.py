@@ -119,6 +119,7 @@ def run_fbg_fog(ns: argparse.Namespace):
         ckpt_dir=ns.ckpt_dir,
         resume=ns.resume,
         save_loss_plots=ns.save_loss_plots,
+        rebuild_cache=ns.rebuild_cache,
         mesh=getattr(ns, "mesh", None),
     )
     return main(args)

@@ -67,6 +67,7 @@ class FbgFogArgs:
     ckpt_dir: Optional[str] = None  # enable per-fold orbax checkpoints
     resume: bool = False  # resume folds from their latest checkpoint
     save_loss_plots: bool = False  # per-fold loss-curve PNGs
+    rebuild_cache: bool = False  # rebuild the reader pickle cache first
 
 
 def choose_model(args: FbgFogArgs, dims):
@@ -299,7 +300,7 @@ def get_reader(args: FbgFogArgs):
         return synthetic.make_fog_reader(seed=args.seed)
     from gaitpd.data.cache import load_reader
 
-    return load_reader(dataset)
+    return load_reader(dataset, rebuild=args.rebuild_cache)
 
 
 def main(args: FbgFogArgs):
