@@ -145,3 +145,40 @@ class WearGaitEngine:
             "subject_probs": subject,
             "pred": int(subject.argmax()),
         }
+
+
+class StreamingSession:
+    """Real-time serving session: push sensor frames as they arrive; windows
+    are cut by the native C++ ring buffers (gaitpd.native) and classified in
+    batches by the engine. One buffer per modality; modalities may stream at
+    their own pace and any subset may be absent (relaxed-input)."""
+
+    def __init__(self, engine: WearGaitEngine, modalities: Sequence[str] = MODALITIES):
+        from gaitpd.native import StreamWindowBuffer
+
+        self.engine = engine
+        self.buffers = {
+            m: StreamWindowBuffer(CHANNELS[m], engine.win, engine.hop)
+            for m in modalities
+        }
+
+    def push(self, modality: str, frames: np.ndarray) -> None:
+        mean, std = self.engine.stats[modality]
+        z = np.asarray(
+            (np.nan_to_num(frames, nan=float("nan")) - np.asarray(mean))
+            / np.asarray(std),
+            np.float32,
+        )
+        z = np.nan_to_num(z, nan=0.0, posinf=0.0, neginf=0.0)
+        self.buffers[modality].push(z)
+
+    def poll(self) -> Optional[Dict[str, np.ndarray]]:
+        """Classify all complete windows available across the streaming
+        modalities (aligned to the slowest one). None if nothing ready."""
+        ready = {m: b.ready for m, b in self.buffers.items()}
+        n = min(ready.values()) if ready else 0
+        if n == 0:
+            return None
+        windows = {m: self.buffers[m].pop(n) for m in self.buffers}
+        probs = self.engine.predict_windows(windows)
+        return {"window_probs": probs, "pred": probs.argmax(1)}

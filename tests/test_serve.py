@@ -64,3 +64,22 @@ def test_engine_from_checkpoint(tmp_path, engine):
     np.testing.assert_allclose(
         eng2.predict_windows(wins), engine.predict_windows(wins), rtol=1e-5
     )
+
+
+def test_streaming_session(engine):
+    try:
+        from gaitpd.serve import StreamingSession
+        sess = StreamingSession(engine, modalities=("insole", "imu"))
+    except Exception as e:
+        pytest.skip(f"native build unavailable: {e}")
+    rng = np.random.default_rng(3)
+    assert sess.poll() is None
+    # stream arrives in drips at different rates
+    for _ in range(10):
+        sess.push("insole", rng.normal(size=(16, 13)))
+        sess.push("imu", rng.normal(size=(13, 24)))
+    out = sess.poll()
+    assert out is not None
+    # imu is the slower stream: 130 frames -> 2 windows of 64
+    assert out["window_probs"].shape == (2, 2)
+    assert sess.poll() is None  # drained
