@@ -109,3 +109,20 @@ def test_weargait_data_parallel_mesh():
     )
     res = run_cv(args)
     assert np.isfinite(res["macro"][0])
+
+
+def test_graft_entry_contract():
+    """The driver-facing entry points must keep working: jittable forward and
+    the 8-device multichip dry run (regression guard for step-API changes)."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "graft_entry", "/root/repo/__graft_entry__.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    fn, args = mod.entry()
+    out = jax.jit(fn)(*args)
+    assert np.asarray(out).shape == (64, 2)
+    if len(jax.devices()) >= 8:
+        mod.dryrun_multichip(8)
