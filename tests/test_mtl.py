@@ -166,3 +166,33 @@ def test_cagrad_collapses_to_scaled_mean_when_equal():
     gnorm = np.linalg.norm(g[0])
     expect = g[0] * (1 + 0.5 * gnorm / gnorm) / (1 + 0.25) * 2
     np.testing.assert_allclose(np.asarray(shared), expect, rtol=1e-3)
+
+
+def test_stl_isolates_other_private_params():
+    """STL(main_task=0): only the main task's loss drives updates, so other
+    tasks' private parameters receive zero gradient (reference STL,
+    multitask_weighting.py:515-528)."""
+    from gaitpd.learning.mtl import build_flat_partition, make_method, mtl_grads
+
+    params = {
+        "params": {
+            "shared": {"w": jnp.asarray([1.0, 2.0])},
+            "a": {"w": jnp.asarray([3.0])},
+            "b": {"w": jnp.asarray([4.0])},
+        }
+    }
+
+    def loss_fn(p):
+        ws = p["params"]["shared"]["w"]
+        l0 = jnp.sum(ws**2) + jnp.sum(p["params"]["a"]["w"] ** 2)
+        l1 = jnp.sum(ws**2) + jnp.sum(p["params"]["b"]["w"] ** 2)
+        return jnp.stack([l0, l1]), None
+
+    partition = build_flat_partition(params, ["shared"], [["a"], ["b"]])
+    grads, *_ = mtl_grads(
+        make_method("stl", 2, main_task=0), lambda p: loss_fn(p), params,
+        partition, {}, jax.random.PRNGKey(0),
+    )
+    np.testing.assert_allclose(np.asarray(grads["params"]["a"]["w"]), [6.0])
+    np.testing.assert_allclose(np.asarray(grads["params"]["b"]["w"]), [0.0])
+    np.testing.assert_allclose(np.asarray(grads["params"]["shared"]["w"]), [2.0, 4.0])
