@@ -56,8 +56,8 @@ def run_reference(config: str, epochs: int, seed: int, strength: float = 1.0):
         modality="sensor" if config == "sensor_ce" else "multimodal",
         consistency_lambda=1.0,
         wm="ce",
-        synchronized_loading=False,
-        alpha=0.0 if config == "sensor_ce" else 0.1,
+        synchronized_loading=(config == "multimodal_ce_sync"),
+        alpha=0.0 if config in ("sensor_ce", "multimodal_ce_sync") else 0.1,
         max_norm=1.0,
         ldam_s=30.0,
         ldam_m=0.5,
@@ -102,7 +102,8 @@ def run_gaitpd(config: str, epochs: int, seed: int, strength: float = 1.0):
         dataset="fog",
         modality="sensor" if config == "sensor_ce" else "multimodal",
         wm="ce",
-        alpha=0.0 if config == "sensor_ce" else 0.1,
+        synchronized_loading=(config == "multimodal_ce_sync"),
+        alpha=0.0 if config in ("sensor_ce", "multimodal_ce_sync") else 0.1,
         epochs=epochs,
         synthetic=True,
         seed=seed,

@@ -126,3 +126,20 @@ def test_graft_entry_contract():
     assert np.asarray(out).shape == (64, 2)
     if len(jax.devices()) >= 8:
         mod.dryrun_multichip(8)
+
+
+def test_fog_multimodal_ldam_runs():
+    """LDAM branch end-to-end (the reference's LDAM is CUDA-only,
+    classification_losses.py:60 — ours runs anywhere)."""
+    args = FbgFogArgs(
+        dataset="fog", modality="multimodal", wm="ldam", alpha=0.1,
+        use_norm_and_cos=False, epochs=2, synthetic=True, verbose=False, seed=0,
+    )
+    reader = get_reader(args)
+    from gaitpd.train.cv import fog_label_dict, generate_class_stratified_folds
+
+    folds = generate_class_stratified_folds(
+        fog_label_dict(reader), np.random.default_rng(0)
+    )
+    sk, se, avg = train_one_fold(1, reader, args, *folds[0])
+    assert np.isfinite(avg)
