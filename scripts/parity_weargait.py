@@ -1,0 +1,201 @@
+"""WearGait driver parity: run the torch REFERENCE weargait_train.run_cv
+(unmodified logic, CPU) and the gaitpd driver on the SAME synthetic subject
+streams, and compare macro accuracies and the 7-subset masked evals.
+
+The synthetic streams are materialised as the per-subject pickles the
+reference loader reads (tuple-packed insole/imu columns, *_matTURN.csv
+discovery markers), so the reference runs its own full pipeline: fold-local
+stats, windowing, sync pairing, CAGrad-on-shared + private grads, masked
+eval. wm=class_wt (the reference's GCL is CUDA-only).
+
+Run: python scripts/parity_weargait.py [--epochs 10] [--seeds 0]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import tempfile
+import types
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+REF = Path("/root/reference")
+sys.path.insert(0, str(REPO))
+
+import numpy as np  # noqa: E402
+
+
+def materialize_reference_layout(streams, pd_ids, hc_ids, root: Path):
+    """Write per-subject stream pickles + discovery CSVs in the layout the
+    reference expects (preproc pkl dir + {PD,HC}/*_matTURN.csv markers)."""
+    import pandas as pd
+
+    out = root / "WearGait_preproc_SPmT_30Hz"
+    pd_dir = root / "PD"
+    hc_dir = root / "HC"
+    for d in (out, pd_dir, hc_dir):
+        d.mkdir(parents=True, exist_ok=True)
+
+    insole_cols = [
+        "LTotalForce_BW", "RTotalForce_BW", "SumForce_BW",
+        "LCoP_X", "LCoP_Y", "RCoP_X", "RCoP_Y",
+    ]
+    imu_sites = [
+        "L_Ankle", "R_Ankle", "L_DorsalFoot", "R_DorsalFoot",
+        "L_MidLatThigh", "R_MidLatThigh", "L_LatShank", "R_LatShank",
+    ]
+    for sid, sub in streams.items():
+        marker_dir = pd_dir if sid in set(pd_ids) else hc_dir
+        (marker_dir / f"{sid}_SelfPace_matTURN.csv").write_text("")
+        # float32 columns: the reference's apply_stats mutates
+        # to_numpy(dtype=float) output in place, which must be a fresh copy
+        w = np.nan_to_num(sub["walkway"], nan=0.0).astype(np.float32)
+        dfw = pd.DataFrame(
+            {"L Foot Pressure_BW": w[:, 0], "R Foot Pressure_BW": w[:, 1]}
+        )
+        dfw.to_pickle(out / f"{sid.lower()}_walkway.pkl")
+        i = sub["insole"].astype(np.float32)
+        dfi = pd.DataFrame({c: i[:, j] for j, c in enumerate(insole_cols)})
+        dfi["Linsole_Acc"] = list(map(tuple, i[:, 7:10]))
+        dfi["Rinsole_Acc"] = list(map(tuple, i[:, 10:13]))
+        dfi.to_pickle(out / f"{sid.lower()}_insole.pkl")
+        m = sub["imu"].astype(np.float32)
+        dfm = pd.DataFrame()
+        for k, site in enumerate(imu_sites):
+            dfm[f"{site}_FreeAcc"] = list(map(tuple, m[:, 3 * k : 3 * k + 3]))
+        dfm.to_pickle(out / f"{sid.lower()}_imu.pkl")
+    return out, pd_dir, hc_dir
+
+
+def ref_args(seed, epochs, n_folds, per_class, async_loading):
+    return types.SimpleNamespace(
+        n_folds=n_folds, test_per_class=per_class, win_len=64, hop_len=64,
+        batch_size=64, num_workers=0, epochs=epochs, patience=50,
+        num_classes=2, lr=1e-3, seed=seed, async_loading=async_loading,
+        single_mod=None, proj_ch=16, enc_out_ch=12, backbone_dim=8,
+        shared_out_ch=16, use_norm=False, use_cosine=False, baseline=None,
+        wm="class_wt", gcl_m=0.2, gcl_s=25.0, noise_mul=0.0, drw_warmup=0,
+        alpha=0.5,
+    )
+
+
+def run_reference(streams, pd_ids, hc_ids, seed, epochs, n_folds, per_class,
+                  async_loading, workdir: Path):
+    sys.path.insert(0, str(REF / "train"))
+    sys.path.insert(0, str(REF))
+    sys.path.insert(0, str(REF / "data" / "WearGait"))
+    import torch
+
+    torch.set_num_threads(1)
+    import pandas as pd
+
+    # pandas>=3 returns read-only views from Series.to_numpy; the reference's
+    # apply_stats mutates that array in place (dataloader_weargait.py:220)
+    # and would crash on ANY data under this pandas. Compatibility shim for
+    # the oracle process only — semantics unchanged, just a copy.
+    if not getattr(pd.Series.to_numpy, "_gaitpd_writable", False):
+        _orig_to_numpy = pd.Series.to_numpy
+
+        def _to_numpy_writable(self, *a, **k):
+            x = _orig_to_numpy(self, *a, **k)
+            if isinstance(x, np.ndarray) and not x.flags.writeable:
+                x = x.copy()
+            return x
+
+        _to_numpy_writable._gaitpd_writable = True
+        pd.Series.to_numpy = _to_numpy_writable
+
+    import weargait_train as wt  # noqa: E402
+
+    out, pd_dir, hc_dir = materialize_reference_layout(
+        streams, pd_ids, hc_ids, workdir
+    )
+    wt.pd_path = str(pd_dir)
+    wt.hc_path = str(hc_dir)
+    wt.output_dir = str(out)
+
+    import io
+    from contextlib import redirect_stdout
+
+    args = ref_args(seed, epochs, n_folds, per_class, async_loading)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        wt.run_cv(args)
+    text = buf.getvalue()
+    # parse "Macro acc mean ± std: X% ± Y%" and the per-mask table
+    macro = None
+    masks = {}
+    for line in text.splitlines():
+        if line.startswith("Macro acc mean"):
+            macro = float(line.split(":")[1].split("%")[0])
+        if line.startswith("[") and "] " in line and "%" in line and "±" in line:
+            key = line[1:].split("]")[0].strip()
+            try:
+                masks[key] = float(line.split("]")[1].split("%")[0])
+            except ValueError:
+                pass
+    return {"macro": macro, "masks": masks, "stdout_tail": text[-800:]}
+
+
+def run_gaitpd(streams, pd_ids, hc_ids, seed, epochs, n_folds, per_class,
+               async_loading):
+    import gaitpd.train.weargait_driver as wd
+    from gaitpd.train.weargait_driver import WearGaitArgs, run_cv
+
+    orig = wd.get_streams
+    wd.get_streams = lambda args: (streams, pd_ids, hc_ids)
+    try:
+        res = run_cv(WearGaitArgs(
+            n_folds=n_folds, test_per_class=per_class, epochs=epochs,
+            patience=50, wm="class_wt", alpha=0.5, seed=seed,
+            async_loading=async_loading, verbose=False,
+        ))
+    finally:
+        wd.get_streams = orig
+    return res
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--epochs", type=int, default=10)
+    p.add_argument("--seeds", nargs="+", type=int, default=[0])
+    p.add_argument("--n_folds", type=int, default=2)
+    p.add_argument("--per_class", type=int, default=3)
+    p.add_argument("--async_loading", action="store_true")
+    p.add_argument("--strength", type=float, default=0.5)
+    ns = p.parse_args()
+
+    from gaitpd.data.synthetic import make_weargait_streams
+
+    report = {}
+    for seed in ns.seeds:
+        n = ns.n_folds * ns.per_class + 2
+        streams, pd_ids, hc_ids = make_weargait_streams(
+            n_pd=n, n_hc=n, t_frames=500, seed=seed
+        )
+        print(f"=== seed {seed}: gaitpd ===", flush=True)
+        ours = run_gaitpd(streams, pd_ids, hc_ids, seed, ns.epochs,
+                          ns.n_folds, ns.per_class, ns.async_loading)
+        print(f"=== seed {seed}: torch reference ===", flush=True)
+        with tempfile.TemporaryDirectory() as td:
+            ref = run_reference(streams, pd_ids, hc_ids, seed, ns.epochs,
+                                ns.n_folds, ns.per_class, ns.async_loading,
+                                Path(td))
+        report[seed] = {
+            "gaitpd_macro": ours["macro"][0],
+            "reference_macro": ref["macro"],
+            "gaitpd_masks": ours["masks"],
+            "reference_masks": ref["masks"],
+        }
+        print(f"[seed {seed}] gaitpd macro={ours['macro'][0]:.2f}% "
+              f"reference macro={ref['macro']:.2f}%")
+    print(json.dumps(report, indent=1, default=str))
+    Path("parity_weargait_report.json").write_text(
+        json.dumps(report, indent=1, default=str)
+    )
+
+
+if __name__ == "__main__":
+    main()
