@@ -183,6 +183,7 @@ def train_one_fold(
     runner = EpochRunner(model.apply, tx, settings, mtl, partition, mesh=args.mesh)
 
     start_epoch = 0
+    resume_meta = None
     if args.ckpt_dir and args.resume:
         from gaitpd.train.checkpoint import restore_fold_checkpoint
 
@@ -190,6 +191,7 @@ def train_one_fold(
         if restored is not None:
             state, meta = restored
             start_epoch = meta["epoch"] + 1
+            resume_meta = meta
             print(f"[Fold {fold_idx}] resumed from epoch {start_epoch}")
 
     n_params = sum(x.size for x in jax.tree_util.tree_leaves(state.params))
@@ -199,6 +201,13 @@ def train_one_fold(
     rng = np.random.default_rng(args.seed + 1000 * fold_idx)
     key = jax.random.PRNGKey(args.seed + fold_idx)
     stopper = EarlyStopper(patience=tp.patience)
+    if resume_meta is not None:
+        stopper.best = resume_meta.get("best_metric", 0.0)
+        stopper.no_improve = resume_meta.get("no_improve", 0)
+        # fast-forward RNG streams for resume determinism
+        for _ in range(start_epoch):
+            rng.permutation(len(data.train_pool))
+            key, _, _ = jax.random.split(key, 3)
     train_losses, val_losses = [], []
 
     for ep in range(start_epoch, epochs):

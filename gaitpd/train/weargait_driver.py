@@ -262,6 +262,11 @@ def run_fold(
             best_restored = restore_fold_checkpoint(args.ckpt_dir, fi, state, "best")
             if best_restored is not None:
                 best_params = jax.device_get(best_restored[0].params)
+            # fast-forward the host/device RNG streams so a resumed run sees
+            # the same epoch orders/noise as an uninterrupted one
+            for _ in range(1, start_epoch):
+                rng.permutation(len(data.train_pool))
+                key, _, _ = jax.random.split(key, 3)
             print(f"[Fold {fi}] resumed from epoch {start_epoch}")
 
     for ep in range(start_epoch, args.epochs + 1):
