@@ -171,3 +171,21 @@ def test_two_level_mesh_dp():
     batch = {"xs": xs, "ys": ys, "valid": jax.device_put(jnp.ones((b,)), sh)}
     new_state, metrics = step(state, batch, jax.random.PRNGKey(0), ctx)
     assert np.all(np.isfinite(np.asarray(metrics["losses"])))
+
+
+def test_resume_matches_uninterrupted(tmp_path):
+    """Checkpoint-resume determinism: 2 epochs + resume to 4 must reproduce
+    the uninterrupted 4-epoch run exactly (RNG streams fast-forwarded)."""
+    from gaitpd.train.weargait_driver import WearGaitArgs, run_cv
+
+    common = dict(
+        n_folds=2, test_per_class=3, patience=50, wm="gcl", alpha=0.5,
+        synthetic=True, verbose=False, seed=7, n_folds_cap=1,
+    )
+    full = run_cv(WearGaitArgs(epochs=4, **common))
+    ck = str(tmp_path / "ck")
+    run_cv(WearGaitArgs(epochs=2, ckpt_dir=ck, **common))
+    resumed = run_cv(WearGaitArgs(epochs=4, ckpt_dir=ck, resume=True, **common))
+    assert resumed["macro"][0] == pytest.approx(full["macro"][0], abs=1e-4)
+    for k in full["masks"]:
+        assert resumed["masks"][k] == pytest.approx(full["masks"][k], abs=1e-4)
