@@ -188,10 +188,11 @@ class RLW(_Base):
 class Uncertainty(_Base):
     """Kendall-Gal uncertainty weighting (reference :531-553). L = Σ 0.5
     (exp(-s_k) l_k + s_k); the log-sigmas are state updated with an internal
-    SGD step (the reference exposes them via .parameters() but its drivers
-    never add them to an optimizer; lr=0 reproduces that frozen behaviour)."""
+    SGD step. The reference exposes them via .parameters() but its drivers
+    never add them to an optimizer, so they stay frozen — the default lr=0
+    reproduces that; pass lr>0 to opt in to adaptive log-sigmas."""
 
-    lr: float = 0.025
+    lr: float = 0.0
 
     def init_state(self):
         return {"logsigma": jnp.zeros((self.n_tasks,), jnp.float32)}

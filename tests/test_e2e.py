@@ -128,6 +128,43 @@ def test_graft_entry_contract():
         mod.dryrun_multichip(8)
 
 
+def test_graft_multichip_bootstraps_without_env(tmp_path):
+    """`python __graft_entry__.py multichip 8` must pass under the DRIVER's
+    ambient environment (no pre-set CPU/virtual-device env vars; typically
+    JAX_PLATFORMS=axon with one real TPU) — the dry run bootstraps its own
+    8-device virtual CPU mesh in a subprocess (VERDICT r1 item 1,
+    MULTICHIP_r01.json rc=1 regression)."""
+    import os
+    import re
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    # Undo the test conftest's CPU forcing so the subprocess sees what the
+    # driver sees (JAX_PLATFORMS=axon from sitecustomize, or a bare default).
+    env.pop("JAX_PLATFORM_NAME", None)
+    env.pop("GAITPD_MULTICHIP_NO_REEXEC", None)
+    flags = re.sub(
+        r"--xla_force_host_platform_device_count=\d+",
+        "",
+        env.get("XLA_FLAGS", ""),
+    ).strip()
+    if flags:
+        env["XLA_FLAGS"] = flags
+    else:
+        env.pop("XLA_FLAGS", None)
+    proc = subprocess.run(
+        [sys.executable, "/root/repo/__graft_entry__.py", "multichip", "8"],
+        env=env,
+        cwd="/root/repo",
+        capture_output=True,
+        text=True,
+        timeout=570,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "dryrun_multichip(8) OK" in proc.stdout
+
+
 def test_fog_multimodal_ldam_runs():
     """LDAM branch end-to-end (the reference's LDAM is CUDA-only,
     classification_losses.py:60 — ours runs anywhere)."""
