@@ -251,15 +251,19 @@ class FAMO(_Base):
     w_lr: float = 0.025
 
     def init_state(self):
-        z = jnp.zeros((self.n_tasks,), jnp.float32)
+        # distinct arrays per leaf: aliased leaves break buffer donation in
+        # the jitted train step (same buffer donated twice)
+        def z():
+            return jnp.zeros((self.n_tasks,), jnp.float32)
+
         return {
-            "w": z,
-            "m": z,
-            "v": z,
+            "w": z(),
+            "m": z(),
+            "v": z(),
             "t": jnp.zeros((), jnp.int32),
-            "prev_loss": z,
+            "prev_loss": z(),
             "has_prev": jnp.zeros((), jnp.bool_),
-            "min_losses": z,
+            "min_losses": z(),
         }
 
     def combine(self, losses, j_shared, gram, state, rng):
@@ -273,14 +277,16 @@ class FAMO(_Base):
                 ldet - s["min_losses"] + EPS
             )
             d = z * (delta - jnp.dot(z, delta))  # J_softmax^T delta
+            # torch.optim.Adam(weight_decay=gamma) couples the decay into the
+            # gradient BEFORE the moment updates (not AdamW-style), and the
+            # reference constructs exactly that optimizer (:127).
+            d = d + self.gamma * s["w"]
             t = s["t"] + 1
             m = 0.9 * s["m"] + 0.1 * d
             v = 0.999 * s["v"] + 0.001 * d * d
             mhat = m / (1 - 0.9 ** t.astype(jnp.float32))
             vhat = v / (1 - 0.999 ** t.astype(jnp.float32))
-            w = s["w"] - self.w_lr * (
-                mhat / (jnp.sqrt(vhat) + EPS) + self.gamma * s["w"]
-            )
+            w = s["w"] - self.w_lr * mhat / (jnp.sqrt(vhat) + EPS)
             return w, m, v, t
 
         w_upd, m, v, t = adam_update(state)

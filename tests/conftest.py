@@ -4,8 +4,14 @@ sharding tests run without TPUs (SURVEY.md §4 item (d))."""
 import os
 
 # NOTE: this image's sitecustomize pins JAX_PLATFORMS=axon (real TPU via a
-# tunnel); JAX_PLATFORM_NAME takes precedence and reliably selects CPU.
+# tunnel). JAX_PLATFORM_NAME alone does NOT reliably win over an explicit
+# JAX_PLATFORMS (observed: tests silently ran on the axon TPU with bf16
+# matmuls, minutes-long remote compiles and ~1% numeric drift) — override
+# JAX_PLATFORMS itself and skip the axon pool handshake too, so a bare
+# `python -m pytest tests/` behaves like scripts/test.sh.
+os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["JAX_PLATFORM_NAME"] = "cpu"
+os.environ["PALLAS_AXON_POOL_IPS"] = ""
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

@@ -84,15 +84,20 @@ def test_every_mtl_method_one_step(name):
     settings = StepSettings(n_streams=3, wm="ce", synchronized=True)
     ctx = make_loss_ctx(settings, [(5, 3)] * 3)
     ta, _ = make_apply_adapters(model.apply, settings)
-    step = jax.jit(make_train_step(ta, tx, settings, mtl, partition))
+    # donate like the real training loop does — catches aliased state leaves
+    # (e.g. an init_state() reusing one zeros array for several leaves makes
+    # Execute() reject the same buffer donated twice)
+    step = jax.jit(make_train_step(ta, tx, settings, mtl, partition),
+                   donate_argnums=(0,))
     batch = {"xs": xs, "ys": ys, "valid": jnp.ones((8,), jnp.float32)}
+    old_leaves = [np.asarray(x) for x in jax.tree_util.tree_leaves(state.params)]
     new_state, metrics = step(state, batch, jax.random.PRNGKey(0), ctx)
     assert np.all(np.isfinite(np.asarray(metrics["losses"])))
     # params actually changed
     diffs = [
-        float(np.abs(np.asarray(a) - np.asarray(b)).max())
+        float(np.abs(a - np.asarray(b)).max())
         for a, b in zip(
-            jax.tree_util.tree_leaves(state.params),
+            old_leaves,
             jax.tree_util.tree_leaves(new_state.params),
         )
     ]
