@@ -1,19 +1,26 @@
-"""Headline benchmark: gait windows/sec/chip for the fused
-(z-score + window + 3-stream forward) WearGait pipeline.
+"""Headline benchmarks for the gaitpd TPU framework.
 
-Prints ONE JSON line:
-    {"metric": ..., "value": N, "unit": "windows/sec/chip", "vs_baseline": N}
+Prints one JSON line per metric, the HEADLINE metric last (with the others
+embedded under "extra" so a single-line parser still sees everything):
 
-value        — throughput of the jit-fused JAX pipeline on the default
-               platform (the TPU chip under the driver).
-vs_baseline  — ratio vs a torch-CPU implementation of the same computation
-               (the reference stack is torch; BASELINE.md north star is
-               >=10x windows/sec/chip over the CPU baseline).
+  1. weargait_cagrad_train_step  — full training step (fwd + 3 cotangent
+     bwd + in-graph CAGrad QP + SGD) trained windows/sec/chip, vs a
+     reference-style torch-CPU CAGrad step (3x backward + scipy SLSQP).
+  2. weargait_dp8_epoch_scan     — data-parallel epoch scan over an 8-device
+     virtual CPU mesh (subprocess), correctness-checked against the
+     single-device scan; vs_baseline = sharded/single throughput ratio.
+  3. weargait_preproc_fwd_throughput (HEADLINE) — fused z-score + window +
+     3-stream forward windows/sec/chip vs a torch-CPU pipeline
+     (BASELINE.md north star: >=10x windows/sec/chip over CPU).
 """
 
 from __future__ import annotations
 
 import json
+import os
+import re
+import subprocess
+import sys
 import time
 
 import numpy as np
@@ -23,6 +30,11 @@ T_FRAMES = 64 * 64  # -> 64 windows per subject per modality
 WIN = HOP = 64
 CHANNELS = {"walkway": 2, "insole": 13, "imu": 24}
 ITERS = 20
+# near-saturation batch for the train step (scripts/bench_step.py, v5e-1:
+# B=1024 -> 117k, 4096 -> 304k, 8192 -> 380k, 16384 -> 467k, 32768 -> 521k,
+# 65536 -> 532k trained windows/s; 32768 picked as the knee)
+TRAIN_BATCH = 32768
+TRAIN_ITERS = 20
 
 
 def make_raw(rng):
@@ -30,6 +42,11 @@ def make_raw(rng):
         m: rng.normal(size=(N_SUBJECTS, T_FRAMES, c)).astype(np.float32)
         for m, c in CHANNELS.items()
     }
+
+
+# ---------------------------------------------------------------------------
+# 3. HEADLINE: fused preproc + forward
+# ---------------------------------------------------------------------------
 
 
 def bench_jax(raw) -> float:
@@ -78,17 +95,14 @@ def bench_jax(raw) -> float:
     return n_windows * ITERS / dt
 
 
-def bench_torch_cpu(raw) -> float:
-    """Reference-style torch-CPU pipeline on the same computation (numpy
-    z-score + windowing, small conv encoders + shared backbone forward)."""
-    import torch
+def _torch_net():
     import torch.nn as nn
-
-    torch.set_num_threads(1)
 
     class Stream(nn.Module):
         def __init__(self, c_in, deep=False):
             super().__init__()
+            import torch
+
             self.deep = deep
             if deep:
                 self.c1 = nn.Conv1d(c_in, 24, 5, padding=2)
@@ -97,8 +111,10 @@ def bench_torch_cpu(raw) -> float:
             else:
                 self.c1 = nn.Conv1d(c_in, 12, 3, padding=1)
             self.ln = nn.LayerNorm(12)
+            self._torch = torch
 
         def forward(self, x):  # (B, T, C)
+            torch = self._torch
             x = x.transpose(1, 2)
             if self.deep:
                 h = torch.nn.functional.gelu(self.c1(x))
@@ -110,6 +126,8 @@ def bench_torch_cpu(raw) -> float:
     class Net(nn.Module):
         def __init__(self):
             super().__init__()
+            import torch
+
             self.enc = nn.ModuleDict(
                 {
                     "walkway": Stream(2),
@@ -119,8 +137,10 @@ def bench_torch_cpu(raw) -> float:
             )
             self.bb = nn.Conv1d(12, 16, 3, padding=1)
             self.head = nn.Linear(128, 2)
+            self._torch = torch
 
         def one(self, x, m):
+            torch = self._torch
             z = torch.relu(self.bb(self.enc[m](x).transpose(1, 2)))
             z = torch.nn.functional.adaptive_avg_pool1d(z, 8)
             return self.head(z.flatten(1))
@@ -128,10 +148,20 @@ def bench_torch_cpu(raw) -> float:
         def forward(self, xs):
             return [self.one(xs[m], m) for m in xs]
 
-    net = Net().eval()
+    return Net()
+
+
+def bench_torch_cpu(raw) -> float:
+    """Reference-style torch-CPU pipeline on the same computation (numpy
+    z-score + windowing, small conv encoders + shared backbone forward)."""
+    import torch
+
+    torch.set_num_threads(1)
+
+    net = _torch_net().eval()
     # subset: torch CPU on one core is slow; scale by measured per-window time
     n_sub = 8
-    n_windows = n_sub * (T_FRAMES // HOP)
+    n_windows = n_sub * (T_FRAMES // WIN)
 
     def run_once():
         xs = {}
@@ -156,9 +186,272 @@ def bench_torch_cpu(raw) -> float:
     return n_windows * reps / dt
 
 
+# ---------------------------------------------------------------------------
+# 1. full CAGrad train step
+# ---------------------------------------------------------------------------
+
+
+def bench_train_step_jax(batch_size: int) -> float:
+    """Trained windows/sec of the full WearGait CAGrad step (the reference's
+    step_cagrad_three semantics: 3 task losses, shared-grad surgery, private
+    grads; weargait_train.py:187-248) — in-graph, f32 HIGHEST."""
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_default_matmul_precision", "highest")
+
+    from gaitpd.learning.mtl import make_method
+    from gaitpd.models.multitask import WearGaitThreeModal
+    from gaitpd.train.loop import init_train_state
+    from gaitpd.train.optim import sgd_torch
+    from gaitpd.train.step import (
+        StepSettings,
+        make_apply_adapters,
+        make_loss_ctx,
+        make_train_step,
+    )
+
+    b, t = batch_size, WIN
+    rng = np.random.default_rng(0)
+    xs = tuple(
+        jnp.asarray(rng.normal(size=(b, t, c)), jnp.float32)
+        for c in CHANNELS.values()
+    )
+    ys = tuple(jnp.asarray(rng.integers(0, 2, size=b), jnp.int32) for _ in range(3))
+
+    model = WearGaitThreeModal(synchronized=True)
+    settings = StepSettings(
+        n_streams=3, wm="gcl", synchronized=True, private_grads="sum_plus_own"
+    )
+    ctx = make_loss_ctx(settings, [(5, 3)] * 3)
+    tx = sgd_torch(1e-3)
+    mtl = make_method("cagrad", 3, c=0.5)
+    state, partition = init_train_state(model, tx, mtl, tuple(x[:2] for x in xs))
+    train_apply, _ = make_apply_adapters(model.apply, settings)
+    step = jax.jit(
+        make_train_step(train_apply, tx, settings, mtl, partition),
+        donate_argnums=(0,),
+    )
+    batch = {"xs": xs, "ys": ys, "valid": jnp.ones((b,), jnp.float32)}
+    key = jax.random.PRNGKey(0)
+    state, metrics = step(state, batch, key, ctx)
+    jax.block_until_ready(metrics["losses"])  # compile
+    t0 = time.perf_counter()
+    for i in range(TRAIN_ITERS):
+        state, metrics = step(state, batch, jax.random.fold_in(key, i), ctx)
+    jax.block_until_ready(metrics["losses"])
+    return batch_size * TRAIN_ITERS / (time.perf_counter() - t0)
+
+
+def bench_train_step_torch_cpu(batch_size: int = 256) -> float:
+    """Reference-style CAGrad train step on torch CPU: 3 per-task backward
+    passes (retain_graph), grad matrix, scipy SLSQP dual solve, blended
+    overwrite, clip, SGD — the per-step host round-trip the reference pays
+    (multitask_weighting.py:680-776)."""
+    import torch
+    from scipy.optimize import minimize
+
+    torch.set_num_threads(1)
+    net = _torch_net()
+    opt = torch.optim.SGD(net.parameters(), lr=1e-3, momentum=0.9)
+    ce = torch.nn.CrossEntropyLoss()
+    rng = np.random.default_rng(0)
+    xs = {
+        m: torch.from_numpy(
+            rng.normal(size=(batch_size, WIN, c)).astype(np.float32)
+        )
+        for m, c in CHANNELS.items()
+    }
+    ys = torch.from_numpy(rng.integers(0, 2, size=batch_size).astype(np.int64))
+    shared = [p for p in net.bb.parameters()] + [p for p in net.head.parameters()]
+    c_cagrad = 0.5
+
+    def one_step():
+        opt.zero_grad()
+        logits = net(xs)
+        losses = [ce(l, ys) for l in logits]
+        grads = []
+        for i, l in enumerate(losses):
+            g = torch.autograd.grad(l, shared, retain_graph=True)
+            grads.append(torch.cat([x.reshape(-1) for x in g]))
+        G = torch.stack(grads)
+        GG = (G @ G.t()).cpu().numpy()
+        g0n = float(np.sqrt(GG.mean()) + 1e-8)
+        cc = c_cagrad * g0n
+
+        def obj(w):
+            w = w / (w.sum() + 1e-8)
+            gw = w @ GG
+            return float(gw @ np.ones(3) / 3 + cc * np.sqrt(w @ GG @ w + 1e-8))
+
+        res = minimize(
+            obj, np.ones(3) / 3, bounds=[(0, 1)] * 3,
+            constraints={"type": "eq", "fun": lambda w: w.sum() - 1},
+            method="SLSQP",
+        )
+        w = torch.from_numpy(res.x.astype(np.float32))
+        gw = (w[:, None] * G).sum(0)
+        lam = cc / (float(torch.norm(gw)) + 1e-8)
+        gfin = (G.mean(0) + lam * gw) / (1 + c_cagrad**2)
+        # private params keep the sum loss
+        sum(losses).backward()
+        i0 = 0
+        for p in shared:
+            n = p.numel()
+            p.grad = gfin[i0 : i0 + n].reshape(p.shape).clone()
+            i0 += n
+        torch.nn.utils.clip_grad_norm_(shared, 1.0)
+        opt.step()
+
+    one_step()  # warmup
+    t0 = time.perf_counter()
+    reps = 5
+    for _ in range(reps):
+        one_step()
+    return batch_size * reps / (time.perf_counter() - t0)
+
+
+# ---------------------------------------------------------------------------
+# 2. DP epoch scan over an 8-device virtual CPU mesh (subprocess)
+# ---------------------------------------------------------------------------
+
+
+def _dp8_child():
+    """Run a small jitted multi-batch train scan twice — once on a 1-device
+    layout and once batch-sharded over the 8-device mesh — assert the loss
+    trajectories match, print throughputs."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from gaitpd.learning.mtl import make_method
+    from gaitpd.models.multitask import WearGaitThreeModal
+    from gaitpd.runtime.mesh import make_mesh
+    from gaitpd.train.loop import init_train_state
+    from gaitpd.train.optim import sgd_torch
+    from gaitpd.train.step import (
+        StepSettings,
+        make_apply_adapters,
+        make_loss_ctx,
+        make_train_step,
+    )
+
+    b, t, n_batches = 256, 16, 8
+    rng = np.random.default_rng(0)
+    xs = tuple(
+        jnp.asarray(rng.normal(size=(b, t, c)), jnp.float32)
+        for c in CHANNELS.values()
+    )
+    ys = tuple(jnp.asarray(rng.integers(0, 2, size=b), jnp.int32) for _ in range(3))
+    valid = jnp.ones((b,), jnp.float32)
+
+    model = WearGaitThreeModal(synchronized=True)
+    settings = StepSettings(
+        n_streams=3, wm="gcl", synchronized=True, private_grads="sum_plus_own"
+    )
+    ctx = make_loss_ctx(settings, [(5, 3)] * 3)
+    tx = sgd_torch(1e-3)
+    mtl = make_method("cagrad", 3, c=0.5)
+    train_apply, _ = make_apply_adapters(model.apply, settings)
+
+    def run(mesh):
+        state, partition = init_train_state(
+            model, tx, mtl, tuple(x[:2] for x in xs)
+        )
+        step = jax.jit(
+            make_train_step(train_apply, tx, settings, mtl, partition)
+        )
+        if mesh is not None:
+            sh = NamedSharding(mesh, P("data"))
+            batch = {
+                "xs": tuple(jax.device_put(x, sh) for x in xs),
+                "ys": tuple(jax.device_put(y, sh) for y in ys),
+                "valid": jax.device_put(valid, sh),
+            }
+            state = jax.device_put(state, NamedSharding(mesh, P()))
+        else:
+            batch = {"xs": xs, "ys": ys, "valid": valid}
+        key = jax.random.PRNGKey(0)
+        losses = []
+        state, m = step(state, batch, key, ctx)  # compile
+        jax.block_until_ready(m["losses"])
+        t0 = time.perf_counter()
+        for i in range(n_batches):
+            state, m = step(state, batch, jax.random.fold_in(key, i), ctx)
+            losses.append(np.asarray(m["losses"]))
+        jax.block_until_ready(m["losses"])
+        dt = time.perf_counter() - t0
+        return np.stack(losses), b * n_batches / dt
+
+    losses_1, tput_1 = run(None)
+    losses_8, tput_8 = run(make_mesh(8))
+    np.testing.assert_allclose(losses_1, losses_8, rtol=2e-4, atol=1e-5)
+    print(json.dumps({"tput_8": tput_8, "tput_1": tput_1, "match": True}))
+
+
+def bench_dp8() -> dict:
+    """Launch the 8-virtual-device CPU mesh check in a subprocess (the bench
+    process itself owns the TPU platform)."""
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["JAX_PLATFORM_NAME"] = "cpu"
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    flags = re.sub(
+        r"--xla_force_host_platform_device_count=\d+",
+        "",
+        env.get("XLA_FLAGS", ""),
+    )
+    env["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--dp8-child"],
+        env=env,
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+        capture_output=True,
+        text=True,
+        timeout=1200,
+    )
+    if proc.returncode != 0:
+        raise RuntimeError(f"dp8 child failed: {proc.stderr[-2000:]}")
+    return json.loads(proc.stdout.strip().splitlines()[-1])
+
+
 def main():
     rng = np.random.default_rng(0)
     raw = make_raw(rng)
+
+    extra = []
+
+    # 1. train step
+    train_tput = bench_train_step_jax(TRAIN_BATCH)
+    train_cpu = bench_train_step_torch_cpu()
+    extra.append(
+        {
+            "metric": "weargait_cagrad_train_step",
+            "value": round(train_tput, 1),
+            "unit": "trained windows/sec/chip",
+            "vs_baseline": round(train_tput / train_cpu, 2),
+            "batch": TRAIN_BATCH,
+        }
+    )
+    print(json.dumps(extra[-1]), flush=True)
+
+    # 2. DP-8 virtual mesh correctness + throughput
+    try:
+        dp8 = bench_dp8()
+        extra.append(
+            {
+                "metric": "weargait_dp8_epoch_scan",
+                "value": round(dp8["tput_8"], 1),
+                "unit": "windows/sec (8-device virtual CPU mesh, 1 core)",
+                "vs_baseline": round(dp8["tput_8"] / dp8["tput_1"], 3),
+                "loss_match": dp8["match"],
+            }
+        )
+        print(json.dumps(extra[-1]), flush=True)
+    except Exception as e:  # noqa: BLE001 — DP check must not sink the headline
+        print(json.dumps({"metric": "weargait_dp8_epoch_scan", "error": str(e)[:300]}))
+
+    # 3. HEADLINE last (single-line parsers read this one)
     jax_tput = bench_jax(raw)
     cpu_tput = bench_torch_cpu(raw)
     print(
@@ -168,10 +461,14 @@ def main():
                 "value": round(jax_tput, 1),
                 "unit": "windows/sec/chip",
                 "vs_baseline": round(jax_tput / cpu_tput, 2),
+                "extra": extra,
             }
         )
     )
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "--dp8-child":
+        _dp8_child()
+    else:
+        main()

@@ -180,9 +180,40 @@ def extract_grf_data(grf_root_folder, output_folder):
             print(f"[GRF] Saved {path} => shape {arr.shape}")
 
 
-def process_c3d_tree(input_path, output_path) -> List[Dict]:
+def load_skip_stems(manifest_path) -> set:
+    """Parse a removed-sequence manifest into a set of sequence stems.
+
+    The reference ships `train/data_processing/removed_fbg_raw_sequences.csv`
+    — a 315-row list (with duplicates) of discarded raw c3d paths like
+    `./PD_3D_motion-capture_data/C3Dfiles/SUB09_on/SUB09_on_walk_8.c3d` —
+    as a record of sequences excluded from the processed dataset. No
+    reference code reads it back; here it is accepted as an explicit
+    skip-list input so a rebuild reproduces the same exclusions. Matching is
+    by file stem, so both bare names and full paths work."""
+    stems = set()
+    for line in Path(manifest_path).read_text().splitlines():
+        line = line.strip().strip(",")
+        if not line:
+            continue
+        name = os.path.basename(line)
+        if name.endswith(".c3d"):
+            name = name[:-4]
+        stems.add(name)
+    return stems
+
+
+def process_c3d_tree(
+    input_path, output_path, skip_manifest=None, removed_manifest_out=None
+) -> List[Dict]:
     """Walk the C3Dfiles tree, clean every SUB*_walk_*.c3d, save npy, and
-    return per-file stats rows (reference preprocess_fbg_raw.py:299-341)."""
+    return per-file stats rows (reference preprocess_fbg_raw.py:299-341).
+
+    skip_manifest: optional removed-sequence CSV (see load_skip_stems) whose
+    sequences are excluded up front.
+    removed_manifest_out: optional path; sequences this run discards (empty
+    after cleaning, or unreadable) are recorded there in the same format —
+    regenerating the reference's manifest artifact from the raw data."""
+    skip = load_skip_stems(skip_manifest) if skip_manifest else set()
     files = []
     for root, _, names in os.walk(input_path):
         for f in names:
@@ -191,15 +222,21 @@ def process_c3d_tree(input_path, output_path) -> List[Dict]:
     files.sort(key=lambda x: extract_sort_key(os.path.basename(x)))
     Path(output_path).mkdir(parents=True, exist_ok=True)
     rows = []
+    removed_paths = []
     for path in files:
         stem = os.path.basename(path)[:-4]
+        if stem in skip:
+            continue
         try:
             cleaned, removal_rate, gaps = read_pd(path)
         except Exception as e:  # noqa: BLE001 — continue past bad files like the reference
             print(f"Error reading {path}: {e}")
+            removed_paths.append(path)
             continue
         if len(cleaned):
             np.save(Path(output_path) / f"{stem}.npy", cleaned)
+        else:
+            removed_paths.append(path)
         rows.append(
             {
                 "file names": stem,
@@ -208,6 +245,10 @@ def process_c3d_tree(input_path, output_path) -> List[Dict]:
                 "gaps info": f"gaps: {gaps.items()}" if gaps else "0 gaps",
             }
         )
+    if removed_manifest_out:
+        Path(removed_manifest_out).write_text(
+            "".join(f"{p}\n" for p in removed_paths)
+        )
     return rows
 
 
@@ -215,10 +256,23 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--input_path", default="./PD_3D_motion-capture_data")
     parser.add_argument("--grf", action="store_true", help="also extract GRF npy")
+    parser.add_argument(
+        "--skip_manifest",
+        default=None,
+        help="removed-sequence CSV (e.g. the reference's "
+        "removed_fbg_raw_sequences.csv) to exclude up front",
+    )
+    parser.add_argument(
+        "--removed_out",
+        default=None,
+        help="write the sequences discarded by this run to a manifest CSV",
+    )
     args = parser.parse_args()
     process_c3d_tree(
         os.path.join(args.input_path, "C3Dfiles"),
         os.path.join(args.input_path, "C3Dfiles_cleaned_sequences"),
+        skip_manifest=args.skip_manifest,
+        removed_manifest_out=args.removed_out,
     )
     if args.grf:
         extract_grf_data(

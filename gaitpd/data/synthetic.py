@@ -51,14 +51,21 @@ def make_fog_reader(
     sensor_t: int = 426,
     seed: int = 0,
     strength: float = 1.0,
+    class_skew: bool = True,
 ) -> SyntheticFoGReader:
+    """class_skew gives lower classes more segments per subject (like the real
+    datasets' class imbalance). This matters for parity checks: the
+    reference's GCLLoss divides by m_list.max() unguarded
+    (classification_losses.py:104) and NaNs out on EXACTLY balanced class
+    counts, so balanced synthetic data silently breaks its wm=gcl path."""
     rng = np.random.default_rng(seed)
     pose_dict, sensor_dict, labels = {}, {}, {}
     for s in range(n_subjects):
         sid = f"SUB{s:02d}"
         label = s % n_classes
-        labels[sid] = [label] * segments
-        for i in range(segments):
+        n_seg = segments + (n_classes - 1 - label if class_skew else 0)
+        labels[sid] = [label] * n_seg
+        for i in range(n_seg):
             pose = _signal(rng, pose_t, 21, label, strength).reshape(pose_t, 7, 3)
             pose_dict[f"{sid}_{i}"] = pose
             sensor_dict[f"{sid}_{i}"] = _signal(rng, sensor_t, 6, label, strength)
@@ -84,22 +91,32 @@ def make_fbg_reader(
     pose_t: int = 101,
     grf_t: int = 101,
     seed: int = 0,
+    strength: float = 1.0,
+    class_skew: bool = True,
 ) -> SyntheticFBGReader:
+    """class_skew: see make_fog_reader — imbalanced per-class walk/trial
+    counts keep the reference's GCL loss non-degenerate."""
     rng = np.random.default_rng(seed)
     pose_dict, sensor_dict = {}, {}
     pose_labels, sensor_labels, meta = {}, {}, {}
     for s in range(n_subjects):
         sid = f"SUB{s:02d}_on"
         label = s % n_classes
+        skew = n_classes - 1 - label if class_skew else 0
         pose_labels[sid] = label
         sensor_labels[sid] = label
         meta[sid] = rng.uniform(0, 1, size=4).astype(np.float32)
-        for w in range(walks):
-            pose = _signal(rng, pose_t, 51, label).reshape(pose_t, 17, 3)
+        for w in range(walks + skew):
+            pose = _signal(rng, pose_t, 51, label, strength).reshape(pose_t, 17, 3)
             pose_dict[f"{sid}_walk_{w}"] = pose
         # GRF: (101, n_trials, 3) 3-D arrays split per trial by the loader
+        # (reference extract_grf_data shape; the loaders trim to length 65)
         sensor_dict[sid] = np.stack(
-            [_signal(rng, grf_t, 3, label) for _ in range(trials)], axis=1
+            [
+                _signal(rng, grf_t, 3, label, strength)
+                for _ in range(trials + skew)
+            ],
+            axis=1,
         )
     return SyntheticFBGReader(pose_dict, sensor_dict, pose_labels, sensor_labels, meta)
 

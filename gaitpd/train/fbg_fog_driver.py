@@ -60,6 +60,7 @@ class FbgFogArgs:
     epochs: Optional[int] = None  # override configs' epoch count
     batch_size: Optional[int] = None
     synthetic: bool = False  # use synthetic readers (no raw data needed)
+    synthetic_strength: float = 1.0  # class-signal strength of the synthetic readers
     n_folds_cap: Optional[int] = None
     verbose: bool = True
     mesh: object = None
@@ -305,8 +306,12 @@ def get_reader(args: FbgFogArgs):
         from gaitpd.data import synthetic
 
         if dataset == "fbg":
-            return synthetic.make_fbg_reader(seed=args.seed)
-        return synthetic.make_fog_reader(seed=args.seed)
+            return synthetic.make_fbg_reader(
+                seed=args.seed, strength=args.synthetic_strength
+            )
+        return synthetic.make_fog_reader(
+            seed=args.seed, strength=args.synthetic_strength
+        )
     from gaitpd.data.cache import load_reader
 
     return load_reader(dataset, rebuild=args.rebuild_cache)

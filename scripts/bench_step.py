@@ -1,0 +1,121 @@
+"""Time the full WearGait CAGrad train step (fwd + 3 cotangent bwd + in-graph
+QP + SGD) at a range of batch sizes on the current platform.
+
+Usage: python scripts/bench_step.py [--batches 1024,4096,8192] [--iters 50]
+
+Reports per-step wall time, trained windows/s, and an MFU estimate from an
+analytic FLOP count of the 3-stream model (VERDICT r1 item 9: the gap between
+3.5M preproc-only and 139k trained windows/s is the perf frontier).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+V5E_PEAK_FLOPS = 394e12  # bf16; f32 ~ 197e12
+
+
+def build_step(batch_size: int, precision: str = "highest"):
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_default_matmul_precision", precision)
+
+    from gaitpd.learning.mtl import make_method
+    from gaitpd.models.multitask import WearGaitThreeModal
+    from gaitpd.train.loop import init_train_state
+    from gaitpd.train.optim import sgd_torch
+    from gaitpd.train.step import (
+        StepSettings,
+        make_apply_adapters,
+        make_loss_ctx,
+        make_train_step,
+    )
+
+    b, t = batch_size, 64
+    rng = np.random.default_rng(0)
+    xs = tuple(
+        jnp.asarray(rng.normal(size=(b, t, c)), jnp.float32) for c in (2, 13, 24)
+    )
+    ys = tuple(jnp.asarray(rng.integers(0, 2, size=b), jnp.int32) for _ in range(3))
+
+    model = WearGaitThreeModal(synchronized=True)
+    settings = StepSettings(
+        n_streams=3, wm="gcl", synchronized=True, private_grads="sum_plus_own"
+    )
+    ctx = make_loss_ctx(settings, [(5, 3)] * 3)
+    tx = sgd_torch(1e-3)
+    mtl = make_method("cagrad", 3, c=0.5)
+    state, partition = init_train_state(model, tx, mtl, tuple(x[:2] for x in xs))
+    train_apply, _ = make_apply_adapters(model.apply, settings)
+    train_step = make_train_step(train_apply, tx, settings, mtl, partition)
+    step = jax.jit(train_step, donate_argnums=(0,))
+    batch = {"xs": xs, "ys": ys, "valid": jnp.ones((b,), jnp.float32)}
+    return step, state, batch, ctx
+
+
+def model_flops_per_window(t: int = 64) -> float:
+    """Analytic forward FLOPs per window for WearGaitThreeModal (defaults:
+    enc_out 12, insole hidden 24, backbone 16ch/k3 -> pool 8).
+    Backward ~2x forward; CAGrad runs 3 cotangent passes -> fwd + 3*2*fwd."""
+    conv = lambda cin, cout, k, tt: 2 * cin * cout * k * tt
+    enc = (
+        conv(2, 12, 3, t)  # walkway
+        + conv(13, 24, 5, t) + conv(24, 12, 3, t) + conv(24, 12, 1, t)  # insole
+        + conv(24, 12, 3, t)  # imu
+    )
+    backbone = 3 * conv(12, 16, 3, t)
+    pool = 3 * 2 * 16 * t * 8
+    heads = 3 * 2 * 128 * 2
+    fwd = enc + backbone + pool + heads
+    return fwd * (1 + 3 * 2)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batches", default="1024,2048,4096,8192,16384")
+    ap.add_argument("--iters", type=int, default=50)
+    ap.add_argument("--precision", default="highest")
+    args = ap.parse_args()
+
+    import jax
+
+    print(f"platform: {jax.devices()[0].platform} x{len(jax.devices())}")
+    fpw = model_flops_per_window()
+    for b in [int(x) for x in args.batches.split(",")]:
+        step, state, batch, ctx = build_step(b, args.precision)
+        key = jax.random.PRNGKey(0)
+        t0 = time.perf_counter()
+        state, metrics = step(state, batch, key, ctx)
+        jax.block_until_ready(metrics["losses"])
+        compile_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        for i in range(args.iters):
+            state, metrics = step(state, batch, jax.random.fold_in(key, i), ctx)
+        jax.block_until_ready(metrics["losses"])
+        dt = (time.perf_counter() - t0) / args.iters
+        tput = b / dt
+        mfu = tput * fpw / V5E_PEAK_FLOPS
+        print(
+            json.dumps(
+                {
+                    "batch": b,
+                    "step_ms": round(dt * 1e3, 3),
+                    "trained_windows_per_s": round(tput, 1),
+                    "mfu_pct_bf16peak": round(100 * mfu, 4),
+                    "compile_s": round(compile_s, 1),
+                }
+            )
+        )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,13 +1,25 @@
 """Metric-parity check: run the torch REFERENCE driver (from /root/reference,
-unmodified, on CPU) and the gaitpd driver on the SAME synthetic FoG dataset
-and compare best-epoch accuracies.
+unmodified, on CPU) and the gaitpd driver on the SAME synthetic FoG/FBG
+dataset and compare best-epoch accuracies.
 
 This validates the ±1% F1/acc parity target of BASELINE.md end-to-end:
 identical fold splits, identical class distributions, same hyperparameters.
-Run:  python scripts/parity_check.py [--epochs 25] [--config sensor_ce ...]
+Covers the reference's DEFAULT loss path (wm=gcl + cosine heads + DRW +
+CAGrad, fbg_fog_train.py:114-133 / classification_losses.py:79-109) and both
+datasets' dims (fbg 101x51 pose + 65x3 GRF; fog 101x21 pose + 426x6 IMU,
+configs.py:2-31).
+
+Run:  python scripts/parity_check.py [--epochs 25] [--seeds 0 1 ...]
+      [--configs sensor_ce multimodal_gcl_cagrad ...] [--strength 0.8]
 
 The reference code is imported, never copied; its loaders are monkeypatched
-only to (a) use the synthetic reader and (b) num_workers=0 (single-core box).
+only to (a) use the synthetic reader, (b) num_workers=0 (single-core box),
+and (c) alias torch.cuda.FloatTensor -> torch.FloatTensor so the CUDA-only
+LDAM/GCL losses (classification_losses.py:60,83) run on CPU — semantics
+unchanged.
+
+Statistics: per-config per-seed pairs, wins/losses, mean gap, and a paired
+95% t-CI on the gap (VERDICT r1 item 10).
 """
 
 from __future__ import annotations
@@ -24,6 +36,50 @@ sys.path.insert(0, str(REPO))
 
 import numpy as np  # noqa: E402
 
+# dataset, modality, wm, synchronized, CAGrad alpha (0 disables), cosine
+# heads, drw_warmup — mirroring the reference CLI surface
+# (fbg_fog_train.py:442-463; defaults wm=gcl, alpha=0.1, drw_warmup=0)
+CONFIGS = {
+    "sensor_ce": dict(dataset="fog", modality="sensor", wm="ce", sync=False,
+                      alpha=0.0, cos=False, drw=0),
+    "multimodal_ce_cagrad": dict(dataset="fog", modality="multimodal",
+                                 wm="ce", sync=False, alpha=0.1, cos=False,
+                                 drw=0),
+    "multimodal_ce_sync": dict(dataset="fog", modality="multimodal", wm="ce",
+                               sync=True, alpha=0.0, cos=False, drw=0),
+    # the reference's default loss path (flagship): GCL + cosine heads +
+    # DRW-at-0 + CAGrad
+    "multimodal_gcl_cagrad": dict(dataset="fog", modality="multimodal",
+                                  wm="gcl", sync=False, alpha=0.1, cos=True,
+                                  drw=0),
+    # deferred re-weighting mid-run (exercises the DRW swap at epoch 10)
+    "multimodal_gcl_drw10_cagrad": dict(dataset="fog", modality="multimodal",
+                                        wm="gcl", sync=False, alpha=0.1,
+                                        cos=True, drw=10),
+    # FBG dataset dims (101x51 pose + GRF trimmed to 65x3, configs.py:2-16)
+    "fbg_multimodal_gcl_cagrad": dict(dataset="fbg", modality="multimodal",
+                                      wm="gcl", sync=False, alpha=0.1,
+                                      cos=True, drw=0),
+    "fbg_sensor_ce": dict(dataset="fbg", modality="sensor", wm="ce",
+                          sync=False, alpha=0.0, cos=False, drw=0),
+}
+
+DEFAULT_CONFIGS = [
+    "sensor_ce",
+    "multimodal_ce_cagrad",
+    "multimodal_gcl_cagrad",
+    "multimodal_gcl_drw10_cagrad",
+    "fbg_multimodal_gcl_cagrad",
+]
+
+
+def _make_reader(dataset: str, seed: int, strength: float):
+    from gaitpd.data.synthetic import make_fbg_reader, make_fog_reader
+
+    if dataset == "fbg":
+        return make_fbg_reader(seed=seed, strength=strength)
+    return make_fog_reader(seed=seed, strength=strength)
+
 
 def run_reference(config: str, epochs: int, seed: int, strength: float = 1.0):
     sys.path.insert(0, str(REF / "train"))
@@ -31,13 +87,17 @@ def run_reference(config: str, epochs: int, seed: int, strength: float = 1.0):
     import torch
 
     torch.set_num_threads(1)
+    # LDAM/GCL hard-code torch.cuda.FloatTensor (classification_losses.py:
+    # 60,70,83) — alias it to the CPU tensor type for this oracle process.
+    if not torch.cuda.is_available():
+        torch.cuda.FloatTensor = torch.FloatTensor
+
     import fbg_fog_train as ref_driver  # noqa: E402
     import utilities as ref_utils  # noqa: E402
     from data_processing import dataloader_fbg_fog as ref_loader  # noqa: E402
 
-    from gaitpd.data.synthetic import make_fog_reader
-
-    reader = make_fog_reader(seed=seed, strength=strength)
+    cfg = CONFIGS[config]
+    reader = _make_reader(cfg["dataset"], seed, strength)
 
     # single-core box: force num_workers=0 in the reference loader factory
     orig = ref_loader.create_fusion_loaders
@@ -52,20 +112,20 @@ def run_reference(config: str, epochs: int, seed: int, strength: float = 1.0):
     import types
 
     args = types.SimpleNamespace(
-        dataset="fog",
-        modality="sensor" if config == "sensor_ce" else "multimodal",
+        dataset=cfg["dataset"],
+        modality=cfg["modality"],
         consistency_lambda=1.0,
-        wm="ce",
-        synchronized_loading=(config == "multimodal_ce_sync"),
-        alpha=0.0 if config in ("sensor_ce", "multimodal_ce_sync") else 0.1,
+        wm=cfg["wm"],
+        synchronized_loading=cfg["sync"],
+        alpha=cfg["alpha"],
         max_norm=1.0,
         ldam_s=30.0,
         ldam_m=0.5,
         gcl_m=0.2,
         gcl_s=25.0,
         noise_mul=0.0,
-        drw_warmup=0,
-        use_norm_and_cos=False,
+        drw_warmup=cfg["drw"],
+        use_norm_and_cos=cfg["cos"],
         save_loss_plots=False,
         seed=seed,
     )
@@ -75,9 +135,9 @@ def run_reference(config: str, epochs: int, seed: int, strength: float = 1.0):
         from configs import FBG_FOG_PARAMS
     except ImportError:
         from train.configs import FBG_FOG_PARAMS
-    FBG_FOG_PARAMS["fog"]["epochs"] = epochs
+    FBG_FOG_PARAMS[cfg["dataset"]]["epochs"] = epochs
 
-    folds = ref_utils.generate_class_stratified_folds(reader, "fog")
+    folds = ref_utils.generate_class_stratified_folds(reader, cfg["dataset"])
     results = []
     for idx, (t, e) in enumerate(folds, 1):
         results.append(ref_driver.train_one_fold(idx, reader, args, t, e))
@@ -93,37 +153,68 @@ def run_reference(config: str, epochs: int, seed: int, strength: float = 1.0):
 def run_gaitpd(config: str, epochs: int, seed: int, strength: float = 1.0):
     from gaitpd.train.fbg_fog_driver import FbgFogArgs, main
 
-    import gaitpd.data.synthetic as syn
-    import functools as _ft
-
-    orig_make = syn.make_fog_reader
-    syn.make_fog_reader = _ft.partial(orig_make, strength=strength)
+    cfg = CONFIGS[config]
     args = FbgFogArgs(
-        dataset="fog",
-        modality="sensor" if config == "sensor_ce" else "multimodal",
-        wm="ce",
-        synchronized_loading=(config == "multimodal_ce_sync"),
-        alpha=0.0 if config in ("sensor_ce", "multimodal_ce_sync") else 0.1,
+        dataset=cfg["dataset"],
+        modality=cfg["modality"],
+        wm=cfg["wm"],
+        synchronized_loading=cfg["sync"],
+        alpha=cfg["alpha"],
+        use_norm_and_cos=cfg["cos"],
+        drw_warmup=cfg["drw"],
         epochs=epochs,
         synthetic=True,
+        synthetic_strength=strength,
         seed=seed,
         verbose=False,
     )
     out = main(args)
-    syn.make_fog_reader = orig_make
-    mod = "sensor" if config == "sensor_ce" else "multimodal"
-    return {k: float(v) for k, v in out[mod].items()}
+    return {k: float(v) for k, v in out[cfg["modality"]].items()}
+
+
+def paired_stats(ours, ref):
+    """Per-seed paired comparison: wins/ties/losses and a 95% t-CI on the
+    mean gap (ours - reference)."""
+    ours = np.asarray(ours, dtype=np.float64)
+    ref = np.asarray(ref, dtype=np.float64)
+    d = ours - ref
+    n = len(d)
+    mean = float(d.mean())
+    out = {
+        "n_seeds": n,
+        "mean_gap": mean,
+        "wins": int((d > 1e-9).sum()),
+        "ties": int((np.abs(d) <= 1e-9).sum()),
+        "losses": int((d < -1e-9).sum()),
+    }
+    if n >= 2:
+        se = float(d.std(ddof=1) / np.sqrt(n))
+        try:
+            from scipy import stats as _st
+
+            tcrit = float(_st.t.ppf(0.975, n - 1))
+        except ImportError:  # pragma: no cover
+            tcrit = {1: 12.71, 2: 4.303, 3: 3.182, 4: 2.776, 5: 2.571,
+                     6: 2.447, 7: 2.365, 8: 2.306, 9: 2.262}.get(n - 1, 2.0)
+        out["gap_ci95"] = [mean - tcrit * se, mean + tcrit * se]
+        out["gap_se"] = se
+    return out
 
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--configs", nargs="+", default=["sensor_ce", "multimodal_ce_cagrad"])
+    p.add_argument("--configs", nargs="+", default=DEFAULT_CONFIGS,
+                   choices=sorted(CONFIGS))
     p.add_argument("--epochs", type=int, default=25)
-    p.add_argument("--seeds", nargs="+", type=int, default=[0, 1])
-    p.add_argument("--strength", type=float, default=0.35, help="class-signal strength (lower = harder task)")
+    p.add_argument("--seeds", nargs="+", type=int,
+                   default=[0, 1, 2, 3, 4, 5, 6, 7])
+    p.add_argument("--strength", type=float, default=0.8,
+                   help="class-signal strength (picked so accuracies land in "
+                        "a discriminative 60-90%% regime, off chance)")
+    p.add_argument("--out", default="parity_report.json")
     ns = p.parse_args()
 
-    report = {}
+    report = {"epochs": ns.epochs, "strength": ns.strength, "seeds": ns.seeds}
     for config in ns.configs:
         ours_list, ref_list = [], []
         for seed in ns.seeds:
@@ -134,15 +225,17 @@ def main():
             ours_list.append(ours["avg"])
             ref_list.append(ref["avg"])
             print(f"[{config} seed {seed}] gaitpd avg={ours['avg']:.2f}% "
-                  f"reference avg={ref['avg']:.2f}%")
+                  f"reference avg={ref['avg']:.2f}%", flush=True)
         report[config] = {
             "gaitpd_mean": float(np.mean(ours_list)),
             "reference_mean": float(np.mean(ref_list)),
             "gap": float(np.mean(ours_list) - np.mean(ref_list)),
+            "stats": paired_stats(ours_list, ref_list),
             "per_seed": {"gaitpd": ours_list, "reference": ref_list},
         }
+        Path(ns.out).write_text(json.dumps(report, indent=2))
     print(json.dumps(report, indent=2))
-    Path("parity_report.json").write_text(json.dumps(report, indent=2))
+    Path(ns.out).write_text(json.dumps(report, indent=2))
 
 
 if __name__ == "__main__":

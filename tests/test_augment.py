@@ -113,3 +113,51 @@ def test_pose_extraction_resume(tmp_path):
     # second run: nothing left
     assert extract_all(videos, preds, logs, infer_builder=stub_builder,
                        use_processes=False) == 0
+
+
+def test_removed_sequence_manifest_roundtrip(tmp_path, monkeypatch):
+    """The raw FBG flow accepts the reference's removed-sequence manifest as
+    a skip-list (train/data_processing/removed_fbg_raw_sequences.csv — paths
+    with duplicates) and regenerates its own manifest of discarded sequences
+    (VERDICT r1 item 8)."""
+    from gaitpd.data import preprocess_fbg_raw as P
+
+    # manifest in the reference's format: relative paths, duplicate rows
+    manifest = tmp_path / "removed.csv"
+    manifest.write_text(
+        "./PD_3D/C3Dfiles/SUB01_on/SUB01_on_walk_2.c3d\n"
+        "./PD_3D/C3Dfiles/SUB01_on/SUB01_on_walk_2.c3d\n"
+        "SUB02_off_walk_1.c3d\n"
+        "\n"
+    )
+    stems = P.load_skip_stems(manifest)
+    assert stems == {"SUB01_on_walk_2", "SUB02_off_walk_1"}
+
+    # fake c3d tree: 3 sequences; one skipped by manifest, one "corrupted"
+    tree = tmp_path / "C3Dfiles"
+    for name in ["SUB01_on_walk_1", "SUB01_on_walk_2", "SUB02_off_walk_1",
+                 "SUB03_on_walk_1"]:
+        sub = tree / name.split("_walk_")[0]
+        sub.mkdir(parents=True, exist_ok=True)
+        (sub / f"{name}.c3d").write_bytes(b"")
+
+    def fake_read_pd(path):
+        if "SUB03" in str(path):  # fully corrupted -> empty
+            return np.array([]), 100.0, {}
+        return np.zeros((5, 17, 3), np.float32), 1.0, {}
+
+    monkeypatch.setattr(P, "read_pd", fake_read_pd)
+    out = tmp_path / "cleaned"
+    removed_out = tmp_path / "removed_generated.csv"
+    rows = P.process_c3d_tree(
+        tree, out, skip_manifest=manifest, removed_manifest_out=removed_out
+    )
+    stems_done = {r["file names"] for r in rows}
+    assert "SUB01_on_walk_2" not in stems_done  # manifest skip honored
+    assert "SUB02_off_walk_1" not in stems_done
+    assert {"SUB01_on_walk_1", "SUB03_on_walk_1"} == stems_done
+    assert (out / "SUB01_on_walk_1.npy").exists()
+    assert not (out / "SUB03_on_walk_1.npy").exists()
+    # regenerated manifest records the newly-discarded sequence
+    regen = P.load_skip_stems(removed_out)
+    assert regen == {"SUB03_on_walk_1"}
