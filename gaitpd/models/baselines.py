@@ -18,7 +18,12 @@ import numpy as np
 from flax import linen as nn
 
 from gaitpd.models.blocks import TaskHead, TorchLinear, flatten_features, gelu
-from gaitpd.models.encoders import GELUBackbone, SensorEncoder, SkeletonMLP
+from gaitpd.models.encoders import (
+    GELUBackbone,
+    SensorEncoder,
+    SharedBackbone,
+    SkeletonMLP,
+)
 from gaitpd.ops.attention import scaled_cross_attention
 
 
@@ -305,7 +310,11 @@ class FOCALSharedLatent(nn.Module):
     shared+private linear projectors over encoded sequences; sync fuses the
     shared parts by mean and concatenates both privates into one backbone +
     head; async runs each modality with the foreign private zero-filled.
-    Returns joint logits (sync) or (skel, sens) logits (async)."""
+    Returns joint logits (sync) or (skel, sens) logits (async).
+
+    NOTE: the 2-mod variant uses feature_encoder.SharedBackbone (conv->RELU->
+    pool, focal.py:68-72); only the 3-mod variant uses the FOCAL-local GELU
+    backbone (focal.py:161-173)."""
 
     skeleton_output_dim: int
     sensor_out_channels: int
@@ -333,7 +342,7 @@ class FOCALSharedLatent(nn.Module):
         s_pr = TorchLinear(self.d_private, name="sk_pr")(s)
         m_sh = TorchLinear(self.d_shared, name="im_sh")(m)
         m_pr = TorchLinear(self.d_private, name="im_pr")(m)
-        backbone = GELUBackbone(
+        backbone = SharedBackbone(
             self.shared_out_channels, self.backbone_dim, name="backbone"
         )
         head = lambda nm: TaskHead(  # noqa: E731

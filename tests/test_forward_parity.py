@@ -21,6 +21,7 @@ pytestmark = pytest.mark.skipif(not REF.exists(), reason="reference tree absent"
 if REF.exists():
     sys.path.insert(0, str(REF / "train"))
     sys.path.insert(0, str(REF / "data" / "WearGait"))
+    sys.path.insert(0, str(REF / "train" / "baselines" / "architectures"))
 
 import torch  # noqa: E402
 
@@ -152,3 +153,241 @@ def test_cheap_xattn_model_forward_parity():
         ref_out = ref(t_(x_skel), t_(x_sens))
     np.testing.assert_allclose(np.asarray(ours_out), ref_out.numpy(),
                                rtol=1e-4, atol=1e-5)
+
+
+def load_taskhead(mod, p):
+    """reference TaskHead/Task_Head (linear variant) <- gaitpd TaskHead."""
+    load_linear(mod.fc, p["TorchLinear_0"])
+
+
+def test_focal_2mod_forward_parity():
+    """FOCAL 2-mod (reference focal.py:10-138): shared/private projectors,
+    ReLU SharedBackbone, sync mean-fuse + async zero-filled privates — both
+    paths, with the focal driver's dims (focal_train.py:100-104)."""
+    from feature_encoder import SensorEncoder as _  # noqa: F401 (path check)
+    from focal import FOCALSharedLatentBaseline as RefModel
+
+    from gaitpd.models.baselines import FOCALSharedLatent
+
+    kw = dict(skeleton_output_dim=6, sensor_out_channels=6, sensor_length=426,
+              d_shared=16, d_private=8, shared_out_channels=4, backbone_dim=4,
+              num_classes=3)
+    x_skel = jnp.asarray(RNG.normal(size=(3, 101, 21)), jnp.float32)
+    x_sens = jnp.asarray(RNG.normal(size=(3, 426, 6)), jnp.float32)
+
+    for sync in (True, False):
+        ours = FOCALSharedLatent(synchronized=sync, **kw)
+        variables = ours.init(jax.random.PRNGKey(3), x_skel, x_sens)
+        ours_out = ours.apply(variables, x_skel, x_sens)
+        p = variables["params"]
+
+        ref = RefModel(
+            skeleton_input_dim=21, skeleton_output_dim=6,
+            sensor_in_channels=6, sensor_out_channels=6, sensor_length=426,
+            d_shared=16, d_private=8, shared_out_channels=4, backbone_dim=4,
+            num_classes=3,
+        ).eval()
+        load_linear(ref.skel_enc.fc1, p["skel_enc"]["TorchLinear_0"])
+        load_ln(ref.skel_enc.ln1, p["skel_enc"]["LayerNorm_0"])
+        load_conv(ref.sens_enc.conv1d, p["sens_enc"]["Conv1dSame_0"])
+        for nm in ("sk_sh", "sk_pr", "im_sh", "im_pr"):
+            load_linear(getattr(ref, nm), p[nm])
+        load_conv(ref.backbone.conv1d, p["backbone"]["Conv1dSame_0"])
+        with torch.no_grad():
+            if sync:
+                load_taskhead(ref.head_sync, p["head_sync"])
+                ref_out, _ = ref(t_(x_skel), t_(x_sens), synced=True)
+                np.testing.assert_allclose(
+                    np.asarray(ours_out), ref_out.numpy(), rtol=1e-4, atol=1e-5
+                )
+            else:
+                load_taskhead(ref.head_skel, p["head_skel"])
+                load_taskhead(ref.head_sensor, p["head_sensor"])
+                ref_s, ref_m = ref(t_(x_skel), t_(x_sens), synced=False)
+                np.testing.assert_allclose(
+                    np.asarray(ours_out[0]), ref_s.numpy(), rtol=1e-4, atol=1e-5
+                )
+                np.testing.assert_allclose(
+                    np.asarray(ours_out[1]), ref_m.numpy(), rtol=1e-4, atol=1e-5
+                )
+
+
+def test_focal_3mod_forward_parity():
+    """FOCAL 3-mod (reference focal.py:198-323): raw-window projectors, the
+    FOCAL-local GELU backbone, sync one aliased head / async three heads."""
+    from focal import FOCALSharedLatent3 as RefModel
+
+    from gaitpd.models.baselines import FOCALSharedLatent3
+
+    xw = jnp.asarray(RNG.normal(size=(3, 64, 2)), jnp.float32)
+    xi = jnp.asarray(RNG.normal(size=(3, 64, 13)), jnp.float32)
+    xm = jnp.asarray(RNG.normal(size=(3, 64, 24)), jnp.float32)
+    kw = dict(d_shared=32, d_private=16, shared_out_ch=8, backbone_dim=4,
+              num_classes=2)
+
+    for sync in (True, False):
+        ours = FOCALSharedLatent3(synchronized=sync, **kw)
+        variables = ours.init(jax.random.PRNGKey(4), xw, xi, xm)
+        ours_out = ours.apply(variables, xw, xi, xm)
+        p = variables["params"]
+
+        ref = RefModel(
+            w_in_dim=2, i_in_dim=13, m_in_dim=24, d_shared=32, d_private=16,
+            shared_out_ch=8, backbone_dim=4, num_classes=2, synchronized=sync,
+        ).eval()
+        for nm in ("w_sh", "w_pr", "i_sh", "i_pr", "m_sh", "m_pr"):
+            load_linear(getattr(ref, nm), p[nm])
+        load_conv(ref.backbone.conv, p["backbone"]["Conv1dSame_0"])
+        with torch.no_grad():
+            if sync:
+                load_taskhead(ref.head, p["head_shared"])
+            else:
+                load_taskhead(ref.head_w, p["head_w"])
+                load_taskhead(ref.head_i, p["head_i"])
+                load_taskhead(ref.head_m, p["head_m"])
+            ref_out = ref(t_(xw), t_(xi), t_(xm))
+        for a, b in zip(ours_out, ref_out):
+            np.testing.assert_allclose(
+                np.asarray(a), b.numpy(), rtol=1e-4, atol=1e-5
+            )
+
+
+def test_taca_2mod_forward_parity():
+    """TACA 2-mod (reference taca.py:10-171): time-shared tokenizers, the
+    gamma/tau-scaled bidirectional cross-attention, sync joint head on the
+    averaged pools + async per-modality heads. gamma schedule 'epoch' is
+    exercised at epoch_frac=0.25."""
+    from taca import TACAWrapper as RefModel
+
+    from gaitpd.models.baselines import TACAWrapper
+
+    ts, ds, te, de = 101, 21, 426, 6
+    x_s = jnp.asarray(RNG.normal(size=(3, ts * ds)), jnp.float32)
+    x_e = jnp.asarray(RNG.normal(size=(3, te * de)), jnp.float32)
+    kw = dict(skel_t=ts, skel_d=ds, sens_t=te, sens_d=de, num_classes=3,
+              d_model=32, n_heads=4, n_tok_s=4, n_tok_e=4, tau=1.3, gamma=1.5,
+              schedule="epoch", drop=0.0)
+
+    for sync in (True, False):
+        ours = TACAWrapper(synchronized=sync, **kw)
+        variables = ours.init(jax.random.PRNGKey(5), x_s, x_e)
+        ours_out = ours.apply(variables, x_s, x_e, epoch_frac=0.25)
+        p = variables["params"]
+
+        ref = RefModel(
+            skel_T_frames=ts, skel_D_frame=ds, sens_T_frames=te,
+            sens_D_frame=de, num_classes=3, d_model=32, n_heads=4, n_tok_s=4,
+            n_tok_e=4, tau=1.3, gamma=1.5, schedule="epoch", dropout=0.0,
+        ).eval()
+        ref.set_epoch_frac(0.25)
+        load_linear(ref.tk_s.frame_proj, p["tk_s"]["frame_proj"])
+        load_linear(ref.tk_e.frame_proj, p["tk_e"]["frame_proj"])
+        fz = p["fuser"]
+        # a=skel, b=sens in gaitpd naming
+        for ref_nm, our_nm in [("q_s2e", "q_a2b"), ("k_e", "k_b"),
+                               ("v_e", "v_b"), ("o_e", "o_b"),
+                               ("q_e2s", "q_b2a"), ("k_s", "k_a"),
+                               ("v_s", "v_a"), ("o_s", "o_a")]:
+            load_linear(getattr(ref.fuser, ref_nm), fz[our_nm])
+        with torch.no_grad():
+            if sync:
+                load_linear(ref.head_joint, p["head_joint"])
+                ref_out, _ = ref(t_(x_s), t_(x_e), synced=True)
+                np.testing.assert_allclose(
+                    np.asarray(ours_out), ref_out.numpy(), rtol=1e-4, atol=1e-5
+                )
+            else:
+                load_linear(ref.head_skel, p["head_skel"])
+                load_linear(ref.head_sens, p["head_sens"])
+                ref_s, ref_e = ref(t_(x_s), t_(x_e), synced=False)
+                np.testing.assert_allclose(
+                    np.asarray(ours_out[0]), ref_s.numpy(), rtol=1e-4, atol=1e-5
+                )
+                np.testing.assert_allclose(
+                    np.asarray(ours_out[1]), ref_e.numpy(), rtol=1e-4, atol=1e-5
+                )
+
+
+def test_deepav_2mod_forward_parity():
+    """DeepAV-Lite 2-mod with the deepav driver's tiny config (embed 12,
+    depth 1, heads 4, attention bottleneck 8, shared blocks,
+    deepav_train.py:40-47): tokenizers + type/pos embeddings, shared
+    transformer block, aggregation cross-attn, fusion tokens + CLS, joint
+    (sync) and per-branch (async) heads."""
+    from deepav import DeepAVLite as RefModel
+
+    from gaitpd.models.baselines import DeepAVLite
+
+    x_s = jnp.asarray(RNG.normal(size=(2, 101, 21)), jnp.float32)
+    x_e = jnp.asarray(RNG.normal(size=(2, 426, 6)), jnp.float32)
+
+    for sync in (True, False):
+        ours = DeepAVLite(num_classes=3, synchronized=sync)
+        variables = ours.init(jax.random.PRNGKey(6), x_s, x_e)
+        ours_out = ours.apply(variables, x_s, x_e)
+        p = variables["params"]["core"]
+
+        ref = RefModel(
+            skel_in_dim=21, sens_in_dim=6, num_classes=3,
+            embed_dim=12, depth=1, heads=4, mlp_ratio=0.5,
+            skel_patch=1, sens_patch=1, stride=4, drop=0.0,
+            n_agg=1, n_fusion=1, use_cls=sync, pool="cls" if sync else "mean",
+            share_blocks=True, share_unimodal=True, attn_bottleneck=8,
+        ).eval()
+        # tokenizers (Conv1d k=1 s=4 + LayerNorm)
+        for ref_tk, our_tk in [(ref.tk_s, "tk_skel"), (ref.tk_e, "tk_sens")]:
+            c = p[our_tk]["Conv_0"]
+            ref_tk.proj.weight.data = t_(c["kernel"]).permute(2, 1, 0).contiguous()
+            ref_tk.proj.bias.data = t_(c["bias"])
+            load_ln(ref_tk.ln, p[our_tk]["LayerNorm_0"])
+        # type embeddings + aggregation queries + fusion tokens
+        ref.type_s.data = t_(p["type_skel"])
+        ref.type_e.data = t_(p["type_sens"])
+        ref.agg_s_q.data = t_(p["agg_q_skel"])
+        ref.agg_e_q.data = t_(p["agg_q_sens"])
+        ref.fus_tok.data = t_(p["fus_tok"])
+        if sync:
+            ref.type_c.data = t_(p["type_cls"])
+
+        def load_attn(ref_attn, pa):
+            for nm in ("q", "k", "v", "o"):
+                load_linear(getattr(ref_attn, nm), pa[nm])
+
+        def load_ffn(ref_mlp, pf):
+            load_linear(ref_mlp.fc1, pf["TorchLinear_0"])
+            load_linear(ref_mlp.fc2, pf["TorchLinear_1"])
+
+        # the one shared transformer block
+        blk = p["blk_shared_0"]
+        ref_blk = ref.skel_blocks[0]
+        load_ln(ref_blk.ln1, blk["LayerNorm_0"])
+        load_attn(ref_blk.sa, blk["Attn_0"])
+        load_ln(ref_blk.ln2, blk["LayerNorm_1"])
+        load_ffn(ref_blk.ff, blk["FFN_0"])
+        # aggregation + fusion attention
+        load_attn(ref.xattn_s, p["xattn_skel"])
+        load_attn(ref.xattn_e, p["xattn_sens"])
+        load_attn(ref.fuse_xattn, p["fuse_xattn"])
+        load_ffn(ref.fuse_ff, p["fuse_ff"])
+        load_ln(ref.ln_fuse, p["ln_fuse"])
+        # flax materializes only the heads each mode actually applies
+        if sync:
+            load_linear(ref.head_joint, p["head_joint"])
+        else:
+            load_linear(ref.head_skel, p["head_skel"])
+            load_linear(ref.head_sens, p["head_sens"])
+
+        with torch.no_grad():
+            if sync:
+                ref_out, _ = ref(t_(x_s), t_(x_e), synced=True)
+                np.testing.assert_allclose(
+                    np.asarray(ours_out), ref_out.numpy(), rtol=1e-4, atol=1e-5
+                )
+            else:
+                ref_s, ref_e = ref(t_(x_s), t_(x_e), synced=False)
+                np.testing.assert_allclose(
+                    np.asarray(ours_out[0]), ref_s.numpy(), rtol=1e-4, atol=1e-5
+                )
+                np.testing.assert_allclose(
+                    np.asarray(ours_out[1]), ref_e.numpy(), rtol=1e-4, atol=1e-5
+                )
