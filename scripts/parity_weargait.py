@@ -169,7 +169,7 @@ def main():
 
     from gaitpd.data.synthetic import make_weargait_streams
 
-    report = {}
+    report = {"epochs": ns.epochs, "async": ns.async_loading, "seeds": {}}
     for seed in ns.seeds:
         n = ns.n_folds * ns.per_class + 2
         streams, pd_ids, hc_ids = make_weargait_streams(
@@ -183,15 +183,31 @@ def main():
             ref = run_reference(streams, pd_ids, hc_ids, seed, ns.epochs,
                                 ns.n_folds, ns.per_class, ns.async_loading,
                                 Path(td))
-        report[seed] = {
+        report["seeds"][seed] = {
             "gaitpd_macro": ours["macro"][0],
             "reference_macro": ref["macro"],
             "gaitpd_masks": ours["masks"],
             "reference_masks": ref["masks"],
         }
         print(f"[seed {seed}] gaitpd macro={ours['macro'][0]:.2f}% "
-              f"reference macro={ref['macro']:.2f}%")
-    print(json.dumps(report, indent=1, default=str))
+              f"reference macro={ref['macro']:.2f}%", flush=True)
+        Path("parity_weargait_report.json").write_text(
+            json.dumps(report, indent=1, default=str)
+        )
+
+    # paired per-seed statistics (VERDICT r1 item 10)
+    sys.path.insert(0, str(Path(__file__).parent))
+    from parity_check import paired_stats
+
+    g = [v["gaitpd_macro"] for v in report["seeds"].values()]
+    r = [v["reference_macro"] for v in report["seeds"].values()]
+    report["macro_summary"] = {
+        "gaitpd_mean": float(np.mean(g)),
+        "reference_mean": float(np.mean(r)),
+        "gap": float(np.mean(g) - np.mean(r)),
+        "stats": paired_stats(g, r),
+    }
+    print(json.dumps(report["macro_summary"], indent=1))
     Path("parity_weargait_report.json").write_text(
         json.dumps(report, indent=1, default=str)
     )
