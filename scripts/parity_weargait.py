@@ -6,7 +6,10 @@ The synthetic streams are materialised as the per-subject pickles the
 reference loader reads (tuple-packed insole/imu columns, *_matTURN.csv
 discovery markers), so the reference runs its own full pipeline: fold-local
 stats, windowing, sync pairing, CAGrad-on-shared + private grads, masked
-eval. wm=class_wt (the reference's GCL is CUDA-only).
+eval. wm defaults to class_wt; --wm gcl runs the reference's GCL flagship
+loss too (its CUDA-only tensors are aliased to CPU in the oracle process,
+and per-subject stream lengths vary so class window counts are imbalanced,
+keeping the reference's unguarded GCL margin finite).
 
 Run: python scripts/parity_weargait.py [--epochs 10] [--seeds 0]
 """
@@ -69,26 +72,30 @@ def materialize_reference_layout(streams, pd_ids, hc_ids, root: Path):
     return out, pd_dir, hc_dir
 
 
-def ref_args(seed, epochs, n_folds, per_class, async_loading):
+def ref_args(seed, epochs, n_folds, per_class, async_loading, wm):
     return types.SimpleNamespace(
         n_folds=n_folds, test_per_class=per_class, win_len=64, hop_len=64,
         batch_size=64, num_workers=0, epochs=epochs, patience=50,
         num_classes=2, lr=1e-3, seed=seed, async_loading=async_loading,
         single_mod=None, proj_ch=16, enc_out_ch=12, backbone_dim=8,
         shared_out_ch=16, use_norm=False, use_cosine=False, baseline=None,
-        wm="class_wt", gcl_m=0.2, gcl_s=25.0, noise_mul=0.0, drw_warmup=0,
+        wm=wm, gcl_m=0.2, gcl_s=25.0, noise_mul=0.0, drw_warmup=0,
         alpha=0.5,
     )
 
 
 def run_reference(streams, pd_ids, hc_ids, seed, epochs, n_folds, per_class,
-                  async_loading, workdir: Path):
+                  async_loading, workdir: Path, wm="class_wt"):
     sys.path.insert(0, str(REF / "train"))
     sys.path.insert(0, str(REF))
     sys.path.insert(0, str(REF / "data" / "WearGait"))
     import torch
 
     torch.set_num_threads(1)
+    # LDAM/GCL hard-code torch.cuda.FloatTensor (classification_losses.py:
+    # 60,83) — alias to the CPU tensor type for this oracle process.
+    if not torch.cuda.is_available():
+        torch.cuda.FloatTensor = torch.FloatTensor
     import pandas as pd
 
     # pandas>=3 returns read-only views from Series.to_numpy; the reference's
@@ -119,7 +126,7 @@ def run_reference(streams, pd_ids, hc_ids, seed, epochs, n_folds, per_class,
     import io
     from contextlib import redirect_stdout
 
-    args = ref_args(seed, epochs, n_folds, per_class, async_loading)
+    args = ref_args(seed, epochs, n_folds, per_class, async_loading, wm)
     buf = io.StringIO()
     with redirect_stdout(buf):
         wt.run_cv(args)
@@ -140,7 +147,7 @@ def run_reference(streams, pd_ids, hc_ids, seed, epochs, n_folds, per_class,
 
 
 def run_gaitpd(streams, pd_ids, hc_ids, seed, epochs, n_folds, per_class,
-               async_loading):
+               async_loading, wm="class_wt"):
     import gaitpd.train.weargait_driver as wd
     from gaitpd.train.weargait_driver import WearGaitArgs, run_cv
 
@@ -149,7 +156,7 @@ def run_gaitpd(streams, pd_ids, hc_ids, seed, epochs, n_folds, per_class,
     try:
         res = run_cv(WearGaitArgs(
             n_folds=n_folds, test_per_class=per_class, epochs=epochs,
-            patience=50, wm="class_wt", alpha=0.5, seed=seed,
+            patience=50, wm=wm, alpha=0.5, seed=seed,
             async_loading=async_loading, verbose=False,
         ))
     finally:
@@ -165,11 +172,14 @@ def main():
     p.add_argument("--per_class", type=int, default=3)
     p.add_argument("--async_loading", action="store_true")
     p.add_argument("--strength", type=float, default=0.5)
+    p.add_argument("--wm", default="class_wt", choices=["class_wt", "ce", "gcl"])
+    p.add_argument("--out", default="parity_weargait_report.json")
     ns = p.parse_args()
 
     from gaitpd.data.synthetic import make_weargait_streams
 
-    report = {"epochs": ns.epochs, "async": ns.async_loading, "seeds": {}}
+    report = {"epochs": ns.epochs, "async": ns.async_loading, "wm": ns.wm,
+              "seeds": {}}
     for seed in ns.seeds:
         n = ns.n_folds * ns.per_class + 2
         streams, pd_ids, hc_ids = make_weargait_streams(
@@ -177,12 +187,12 @@ def main():
         )
         print(f"=== seed {seed}: gaitpd ===", flush=True)
         ours = run_gaitpd(streams, pd_ids, hc_ids, seed, ns.epochs,
-                          ns.n_folds, ns.per_class, ns.async_loading)
+                          ns.n_folds, ns.per_class, ns.async_loading, ns.wm)
         print(f"=== seed {seed}: torch reference ===", flush=True)
         with tempfile.TemporaryDirectory() as td:
             ref = run_reference(streams, pd_ids, hc_ids, seed, ns.epochs,
                                 ns.n_folds, ns.per_class, ns.async_loading,
-                                Path(td))
+                                Path(td), ns.wm)
         report["seeds"][seed] = {
             "gaitpd_macro": ours["macro"][0],
             "reference_macro": ref["macro"],
@@ -191,7 +201,7 @@ def main():
         }
         print(f"[seed {seed}] gaitpd macro={ours['macro'][0]:.2f}% "
               f"reference macro={ref['macro']:.2f}%", flush=True)
-        Path("parity_weargait_report.json").write_text(
+        Path(ns.out).write_text(
             json.dumps(report, indent=1, default=str)
         )
 
@@ -208,7 +218,7 @@ def main():
         "stats": paired_stats(g, r),
     }
     print(json.dumps(report["macro_summary"], indent=1))
-    Path("parity_weargait_report.json").write_text(
+    Path(ns.out).write_text(
         json.dumps(report, indent=1, default=str)
     )
 
