@@ -161,3 +161,54 @@ def test_removed_sequence_manifest_roundtrip(tmp_path, monkeypatch):
     # regenerated manifest records the newly-discarded sequence
     regen = P.load_skip_stems(removed_out)
     assert regen == {"SUB03_on_walk_1"}
+
+
+def test_mirror_reflection_matches_reference_oracle():
+    """Golden vs the reference's sample-level MirrorReflection
+    (common.py:93-129): x-negate then left/right joint-set swap, on a fixed
+    (T,17,3) sequence."""
+    import sys
+    from pathlib import Path
+
+    ref = Path("/root/reference")
+    if not ref.exists():
+        pytest.skip("reference tree absent")
+    sys.path.insert(0, str(ref / "train"))
+    from data_processing.common import MirrorReflection
+
+    rng = np.random.default_rng(3)
+    seq = rng.normal(size=(5, 17, 3)).astype(np.float32)
+    out_ref = MirrorReflection(data_dim=3)(
+        {"encoder_inputs": seq.copy(), "label": 0, "labels_str": "x"}
+    )["encoder_inputs"].numpy()
+    out_ours = np.asarray(A.mirror_reflection(seq))
+    np.testing.assert_allclose(out_ours, out_ref, rtol=1e-6)
+
+
+def test_rotation_matrix_matches_reference_oracle():
+    """Golden vs the reference's reader-level rotation
+    (PoseSequenceAugmentation.rotation_matrix + pose @ M,
+    common.py:346-385) at fixed angles. NOTE the reference's two rotation
+    APIs disagree in direction (the sample-level RandomRotation right-
+    multiplies transposed per-axis matrices sequentially, i.e. the inverse
+    rotation); gaitpd follows the reader-level convention, and the
+    main-axis/tenth-strength angle DRAW of the sample-level one —
+    distributionally identical for the symmetric ranges both use."""
+    import sys
+    from pathlib import Path
+
+    ref = Path("/root/reference")
+    if not ref.exists():
+        pytest.skip("reference tree absent")
+    sys.path.insert(0, str(ref / "train"))
+    from data_processing.common import PoseSequenceAugmentation
+
+    rng = np.random.default_rng(4)
+    seq = rng.normal(size=(5, 17, 3)).astype(np.float32)
+    angles = np.asarray([14.0, -3.0, 7.5], np.float32)
+    m_ref = PoseSequenceAugmentation.rotation_matrix(angles)
+    out_ref = seq @ m_ref
+    m_ours = np.asarray(A.rotation_matrix_3d(angles))
+    np.testing.assert_allclose(m_ours, m_ref, rtol=1e-5, atol=1e-7)
+    out_ours = np.einsum("tjc,cd->tjd", seq, m_ours)
+    np.testing.assert_allclose(out_ours, out_ref, rtol=1e-4, atol=1e-6)
