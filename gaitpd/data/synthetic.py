@@ -36,11 +36,13 @@ def _signal(rng, t: int, c: int, label: int, strength: float = 1.0) -> np.ndarra
 
 @dataclasses.dataclass
 class SyntheticFoGReader:
-    """Matches the attribute surface of pdfeReader the loaders consume."""
+    """Matches the attribute surface of pdfeReader the loaders consume
+    (incl. sensor_length, preprocess_fog.py:210-217)."""
 
     pose_dict: Dict[str, np.ndarray]
     sensor_dict: Dict[str, np.ndarray]
     labels_dict: Dict[str, List[int]]
+    sensor_length: int = 426
 
 
 def make_fog_reader(
@@ -69,7 +71,7 @@ def make_fog_reader(
             pose = _signal(rng, pose_t, 21, label, strength).reshape(pose_t, 7, 3)
             pose_dict[f"{sid}_{i}"] = pose
             sensor_dict[f"{sid}_{i}"] = _signal(rng, sensor_t, 6, label, strength)
-    return SyntheticFoGReader(pose_dict, sensor_dict, labels)
+    return SyntheticFoGReader(pose_dict, sensor_dict, labels, sensor_length=sensor_t)
 
 
 @dataclasses.dataclass

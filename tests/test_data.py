@@ -255,3 +255,64 @@ def test_fog_reader_fixture(tmp_path):
     assert len(r.sensor_dict) == 36
     assert r.sensor_dict["SUB01_1_1"].shape == (4, 6)
     assert r.labels_dict == {"SUB01": [1]}  # 3 - 2
+
+
+def test_reader_cache_roundtrip_and_legacy_fallback(tmp_path, monkeypatch, capsys):
+    """Reader cache semantics (reference dataset_cache.py:27-104): build on
+    miss via atomic tmp-rename, reload from cache on hit, fall back to the
+    legacy {walk,turn}_reader.pkl name, rebuild on demand, and summarize."""
+    import pickle
+
+    from gaitpd.data import cache as C
+    from gaitpd.data.synthetic import make_fog_reader
+
+    built = []
+
+    def fake_build(dataset):
+        built.append(dataset)
+        return make_fog_reader(n_subjects=2, segments=2)
+
+    monkeypatch.setattr(C, "build_reader", fake_build)
+
+    # miss -> build + atomic write (no .tmp left behind)
+    r1 = C.load_reader("fog", root=tmp_path)
+    assert built == ["fog"]
+    assert (tmp_path / "fog_reader.pkl").exists()
+    assert not list(tmp_path.glob("*.tmp"))
+
+    # hit -> no rebuild, same content
+    r2 = C.load_reader("fog", root=tmp_path)
+    assert built == ["fog"]
+    assert r2.pose_dict.keys() == r1.pose_dict.keys()
+
+    # dataset-name aliasing ("turn" is the raw name for fog)
+    r3 = C.load_reader("turn", root=tmp_path)
+    assert built == ["fog"]
+    assert r3.pose_dict.keys() == r1.pose_dict.keys()
+
+    # legacy-name fallback: only turn_reader.pkl present
+    legacy_root = tmp_path / "legacy"
+    legacy_root.mkdir()
+    with (legacy_root / "turn_reader.pkl").open("wb") as f:
+        pickle.dump(r1, f)
+    r4 = C.load_reader("fog", root=legacy_root)
+    assert built == ["fog"]  # loaded from legacy, not rebuilt
+    assert r4.pose_dict.keys() == r1.pose_dict.keys()
+
+    # rebuild=True forces a rebuild even when cached
+    C.load_reader("fog", rebuild=True, root=tmp_path)
+    assert built == ["fog", "fog"]
+
+    # summarize matches the reader contents
+    s = C.summarize_reader("fog", r1)
+    assert s["pose_entries"] == len(r1.pose_dict)
+    assert s["subject_labels"] == 2
+
+
+def test_count_weargait_pickles(tmp_path):
+    from gaitpd.data.cache import count_weargait_pickles
+
+    assert count_weargait_pickles(tmp_path / "missing") == 0
+    (tmp_path / "a_walkway.pkl").write_bytes(b"")
+    (tmp_path / "a_insole.pkl").write_bytes(b"")
+    assert count_weargait_pickles(tmp_path) == 2
