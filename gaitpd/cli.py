@@ -88,6 +88,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--modality_dropout", type=float, default=0.0,
                    help="train-time random modality dropout probability "
                         "(weargait; relaxed-input training)")
+    p.add_argument("--vmap_folds", action="store_true",
+                   help="weargait: train ALL CV folds simultaneously via one "
+                        "vmapped epoch scan (compiles once; with "
+                        "--data_parallel the fold axis shards over devices)")
     return p
 
 
@@ -164,6 +168,10 @@ def run_weargait(ns: argparse.Namespace, baseline: str = None):
         modality_dropout=ns.modality_dropout,
         mesh=getattr(ns, "mesh", None),
     )
+    if getattr(ns, "vmap_folds", False):
+        from gaitpd.train.vmap_cv import run_cv_vmapped
+
+        return run_cv_vmapped(args)
     return run_cv(args)
 
 

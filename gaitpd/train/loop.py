@@ -122,6 +122,10 @@ class EpochRunner:
             _, outs = jax.lax.scan(body, None, (idx, valid, rngs))
             return outs
 
+        # raw (un-jitted) epoch fns, reused by the vmapped-CV runner which
+        # wraps them in jax.vmap over a leading fold axis (train/vmap_cv.py)
+        self.train_epoch_fn = train_epoch
+        self.eval_epoch_fn = eval_epoch
         self.train_epoch = jax.jit(train_epoch, donate_argnums=(0,))
         self.eval_epoch = jax.jit(eval_epoch)
 

@@ -1,0 +1,439 @@
+"""Vmapped cross-validation: train ALL folds simultaneously on one chip.
+
+TPU-native redesign of the reference's sequential fold loop
+(train/weargait_train.py:533-645): the K-fold models are tiny (1e4-1e5
+params) and the folds are independent, so the fold index becomes a leading
+batch axis — one `jax.vmap` of the epoch scan trains every fold's model in a
+single compiled program. This
+
+* removes the per-fold retrace/compile (the dominant cost of sequential CV
+  under this container's minutes-long remote TPU compiles),
+* keeps the chip busy (a single fold's B=64 step leaves the VPU/MXU mostly
+  idle; F folds stack into an effective F*B batch), and
+* maps onto multi-chip naturally: with a mesh, the FOLD axis is sharded over
+  the `data` axis (embarrassingly parallel — no cross-fold collectives), so
+  an 8-chip slice trains 8 folds at once.
+
+Fold datasets differ in size; arrays are zero-padded to the max fold size
+and index pools stay fold-local, so padded rows are never gathered. Batch
+counts are padded to the max across folds with fully-invalid batches, which
+the step treats as exact no-ops (the same mechanism as the power-of-two
+epoch quantization in gaitpd.data.sampler.batch_index_matrix).
+
+RNG streams are IDENTICAL to the sequential driver's per-fold streams
+whenever the folds' batch counts agree (the per-fold key chains are built
+the same way), so vmapped CV reproduces sequential CV numerically — tested
+in tests/test_vmap_cv.py.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gaitpd.data import weargait as WG
+from gaitpd.data.sampler import batch_index_matrix
+from gaitpd.train.loop import DeviceFoldData, EarlyStopper, EpochRunner
+from gaitpd.train.step import TrainState
+
+
+# ---------------------------------------------------------------------------
+# Stacking fold data
+# ---------------------------------------------------------------------------
+
+
+def _pad_stack(arrays: List[np.ndarray]) -> jnp.ndarray:
+    """Zero-pad a list of (N_f, ...) arrays on axis 0 to max N and stack to
+    (F, N_max, ...)."""
+    n_max = max(a.shape[0] for a in arrays)
+    out = np.zeros((len(arrays), n_max) + arrays[0].shape[1:], arrays[0].dtype)
+    for f, a in enumerate(arrays):
+        out[f, : a.shape[0]] = a
+    return jnp.asarray(out)
+
+
+@dataclasses.dataclass
+class StackedFoldData:
+    """All folds resident on device with a leading fold axis."""
+
+    xs: Tuple[jnp.ndarray, ...]  # per stream: (F, N_max, T, C)
+    ys: Tuple[jnp.ndarray, ...]
+    eval_xs: Tuple[jnp.ndarray, ...]
+    eval_ys: Tuple[jnp.ndarray, ...]
+    train_pools: List[np.ndarray]  # per fold (host): (N_tr_f, K)
+    eval_pools: List[np.ndarray]
+
+    @property
+    def n_folds(self) -> int:
+        return len(self.train_pools)
+
+
+def stack_folds(datas: List[DeviceFoldData]) -> StackedFoldData:
+    k = len(datas[0].xs)
+    return StackedFoldData(
+        xs=tuple(_pad_stack([np.asarray(d.xs[i]) for d in datas]) for i in range(k)),
+        ys=tuple(_pad_stack([np.asarray(d.ys[i]) for d in datas]) for i in range(k)),
+        eval_xs=tuple(
+            _pad_stack([np.asarray(d.exs[i]) for d in datas]) for i in range(k)
+        ),
+        eval_ys=tuple(
+            _pad_stack([np.asarray(d.eys[i]) for d in datas]) for i in range(k)
+        ),
+        train_pools=[d.train_pool for d in datas],
+        eval_pools=[d.eval_pool for d in datas],
+    )
+
+
+def stack_index_batches(
+    pools: List[np.ndarray], orders: List[np.ndarray], batch_size: int
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-fold sample orders -> stacked (F, n_b_max, B, K) gather indices +
+    (F, n_b_max, B) validity; shorter folds padded with no-op batches."""
+    idxs, valids = [], []
+    for pool, order in zip(pools, orders):
+        idx_flat, valid_flat = batch_index_matrix(order, batch_size)
+        nb, b = idx_flat.shape
+        idxs.append(pool[idx_flat.reshape(-1)].reshape(nb, b, -1))
+        valids.append(valid_flat)
+    nb_max = max(i.shape[0] for i in idxs)
+    f = len(idxs)
+    b = idxs[0].shape[1]
+    k = idxs[0].shape[2]
+    idx = np.zeros((f, nb_max, b, k), np.int32)
+    valid = np.zeros((f, nb_max, b), np.float32)
+    for i, (ix, va) in enumerate(zip(idxs, valids)):
+        idx[i, : ix.shape[0]] = ix
+        valid[i, : va.shape[0]] = va
+    return jnp.asarray(idx), jnp.asarray(valid)
+
+
+def stack_epoch_rngs(keys: List[jax.Array], n_batches: int) -> jax.Array:
+    """Per-fold epoch keys -> (F, n_b, key) batch keys, matching the
+    sequential driver's jax.random.split(key, n_batches) per fold."""
+    return jnp.stack([jax.random.split(k, n_batches) for k in keys])
+
+
+# ---------------------------------------------------------------------------
+# Vmapped runner
+# ---------------------------------------------------------------------------
+
+
+class VmapEpochRunner:
+    """jax.vmap of EpochRunner's epoch scans over a leading fold axis.
+
+    With a mesh, the vmapped scans are additionally shard_map-ped so each
+    device runs ONLY its local folds (fold-parallel CV, zero cross-device
+    collectives). Plain vmap + sharding constraints would not work here:
+    vmap over per-fold conv kernels lowers to feature_group_count=F grouped
+    convolutions, which the SPMD partitioner refuses to split on the fold
+    axis; shard_map sidesteps that because each shard traces with its local
+    fold count."""
+
+    def __init__(self, runner: EpochRunner, mesh=None):
+        self.runner = runner
+        self.mesh = mesh
+        vm_train = jax.vmap(runner.train_epoch_fn)
+        # mask is shared across folds (in_axes None); epoch is a shared scalar
+        vm_eval = jax.vmap(
+            runner.eval_epoch_fn, in_axes=(0, 0, 0, 0, 0, 0, 0, None, None)
+        )
+        if mesh is not None:
+            from jax.experimental.shard_map import shard_map
+            from jax.sharding import PartitionSpec as P
+
+            fold = P("data")
+            vm_train = shard_map(
+                vm_train, mesh=mesh,
+                in_specs=(fold,) * 7, out_specs=fold, check_rep=False,
+            )
+            vm_eval = shard_map(
+                vm_eval, mesh=mesh,
+                in_specs=(fold,) * 7 + (P(), P()), out_specs=fold,
+                check_rep=False,
+            )
+        self.train_epoch = jax.jit(vm_train, donate_argnums=(0,))
+        self.eval_epoch = jax.jit(vm_eval)
+
+    def shard_folds(self, tree):
+        """Shard the leading fold axis over the mesh's data axis (fold-
+        parallel CV); replicate when the fold count doesn't divide."""
+        if self.mesh is None:
+            return tree
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        n_dev = self.mesh.devices.size
+
+        def put(x):
+            if hasattr(x, "shape") and x.ndim >= 1 and x.shape[0] % n_dev == 0:
+                return jax.device_put(x, NamedSharding(self.mesh, P("data")))
+            return jax.device_put(x, NamedSharding(self.mesh, P()))
+
+        return jax.tree_util.tree_map(put, tree)
+
+
+def init_stacked_state(model, tx, mtl_method, sample_xs, seeds: List[int]):
+    """Per-fold init (vmapped over seeds) -> TrainState with leading F axis.
+    The sequential driver inits every fold from the same seed
+    (weargait_driver.run_fold uses args.seed), so passing identical seeds
+    reproduces it exactly."""
+    from gaitpd.learning.mtl import build_flat_partition
+
+    def one(seed):
+        params = model.init(jax.random.PRNGKey(seed), *sample_xs)
+        return TrainState(
+            params=params,
+            opt_state=tx.init(params),
+            mtl_state=mtl_method.init_state() if mtl_method is not None else {},
+            epoch=jnp.zeros((), jnp.int32),
+        )
+
+    states = jax.vmap(lambda s: one(s))(jnp.asarray(seeds))
+    partition = None
+    if mtl_method is not None:
+        params0 = model.init(jax.random.PRNGKey(int(seeds[0])), *sample_xs)
+        bound = model.bind(params0)
+        partition = build_flat_partition(
+            params0, bound.shared_modules, bound.task_modules
+        )
+    return states, partition
+
+
+def stack_ctx(ctxs: List[Tuple[Dict[str, jnp.ndarray], ...]]):
+    """Per-fold loss contexts -> leading F axis on every leaf."""
+    return jax.tree_util.tree_map(lambda *leaves: jnp.stack(leaves), *ctxs)
+
+
+def aggregate_folds(metrics) -> Dict[str, np.ndarray]:
+    """Vectorized gaitpd.train.loop._aggregate over the leading fold axis.
+    metrics leaves: losses (F, n_b, K), correct (F, n_b, K), n (F, n_b)."""
+    losses = np.asarray(metrics["losses"])
+    correct = np.asarray(metrics["correct"])
+    n = np.asarray(metrics["n"])
+    real = n > 0  # (F, n_b)
+    n_real = np.maximum(1, real.sum(axis=1))  # (F,)
+    loss = (losses * real[..., None]).sum(1) / n_real[:, None]
+    acc = correct.sum(1) / np.maximum(1.0, n.sum(1))[:, None] * 100.0
+    per_batch_acc = correct / np.maximum(n[..., None], 1.0)
+    acc_bm = (per_batch_acc * real[..., None]).sum(1) / n_real[:, None] * 100.0
+    out = {"loss": loss, "acc": acc, "acc_batchmean": acc_bm}
+    if "ens_correct" in metrics:
+        ens = np.asarray(metrics["ens_correct"])
+        out["ens_acc"] = ens.sum(1) / np.maximum(1.0, n.sum(1)) * 100.0
+    return out
+
+
+# ---------------------------------------------------------------------------
+# The WearGait vmapped CV driver
+# ---------------------------------------------------------------------------
+
+
+def run_cv_vmapped(args):
+    """Drop-in replacement for weargait_driver.run_cv that trains all folds
+    at once. Same summary dict; per-fold RNG streams match the sequential
+    driver whenever fold batch counts agree. Restrictions: the flagship
+    3-stream model only (no --baseline/--single_mod) and no checkpointing
+    (the sequential path remains the full-featured one)."""
+    from gaitpd.learning.mtl import make_method
+    from gaitpd.train.cv import build_subj2label, make_fixed_balanced_folds_no_overlap
+    from gaitpd.train.optim import sgd_torch
+    from gaitpd.train.step import StepSettings, make_loss_ctx
+    from gaitpd.train.weargait_driver import (
+        MASK_COMBOS,
+        build_model,
+        get_streams,
+        split_to_device,
+    )
+
+    if args.baseline is not None or args.single_mod is not None:
+        raise ValueError("vmapped CV supports the flagship 3-stream model only")
+    if args.ckpt_dir:
+        raise ValueError("vmapped CV does not checkpoint; use the sequential path")
+
+    async_mode = args.async_loading
+    sync_flag = not async_mode
+
+    streams, pd_ids, hc_ids = get_streams(args)
+    subj2label = build_subj2label(pd_ids, hc_ids)
+    folds = make_fixed_balanced_folds_no_overlap(
+        pd_ids, hc_ids, n_folds=args.n_folds, per_class=args.test_per_class,
+        seed=args.seed,
+    )
+    if args.n_folds_cap:
+        folds = folds[: args.n_folds_cap]
+    f = len(folds)
+
+    splits = [
+        WG.prepare_split(streams, tr, te, subj2label, win=args.win_len,
+                         hop=args.hop_len)
+        for tr, te in folds
+    ]
+    datas = [split_to_device(s, async_mode, args.seed) for s in splits]
+    stacked = stack_folds(datas)
+
+    settings = StepSettings(
+        n_streams=3, wm=args.wm, synchronized=sync_flag, gcl_m=args.gcl_m,
+        gcl_s=args.gcl_s, noise_mul=args.noise_mul, drw_warmup=args.drw_warmup,
+        consistency_lambda=0.0, private_grads="sum_plus_own",
+        modality_dropout=args.modality_dropout,
+    )
+    ctxs = []
+    for d in datas:
+        counts = [
+            np.bincount(np.asarray(d.ys[k])[d.train_pool[:, k]],
+                        minlength=args.num_classes)
+            for k in range(3)
+        ]
+        ctxs.append(make_loss_ctx(settings, counts))
+    ctx = stack_ctx(ctxs)
+
+    model = build_model(args, sync_flag)
+    tx = sgd_torch(args.lr, 0.9, 1e-4)
+    mtl = None
+    if args.alpha > 0:
+        kwargs = (
+            {"c": args.alpha}
+            if args.mtl_method in ("cagrad", "log_cagrad")
+            else {}
+        )
+        mtl = make_method(args.mtl_method, 3, **kwargs)
+
+    sample_xs = tuple(np.asarray(x[0, :2]) for x in stacked.xs)
+    states, partition = init_stacked_state(
+        model, tx, mtl, sample_xs, [args.seed] * f
+    )
+    mesh = args.mesh
+    if mesh is not None and f % mesh.devices.size != 0:
+        print(
+            f"[vmap-cv] {f} folds not divisible by {mesh.devices.size} "
+            "devices; running single-device"
+        )
+        mesh = None
+    runner = EpochRunner(model.apply, tx, settings, mtl, partition)
+    vrunner = VmapEpochRunner(runner, mesh=mesh)
+    states = vrunner.shard_folds(states)
+    stacked_dev = vrunner.shard_folds(
+        {"xs": stacked.xs, "ys": stacked.ys, "exs": stacked.eval_xs,
+         "eys": stacked.eval_ys}
+    )
+
+    # per-fold host/device RNG streams, matching the sequential driver
+    host_rngs = [np.random.default_rng(args.seed + 1000 * fi) for fi in
+                 range(1, f + 1)]
+    keys = [jax.random.PRNGKey(args.seed + fi) for fi in range(1, f + 1)]
+    stoppers = [EarlyStopper(patience=args.patience) for _ in range(f)]
+    best_params_host = jax.device_get(states.params)
+    best_per_mod = np.zeros((f, 3))
+
+    # eval index batches are fixed across epochs
+    eval_idx, eval_valid = stack_index_batches(
+        stacked.eval_pools,
+        [np.arange(len(p)) for p in stacked.eval_pools],
+        args.batch_size,
+    )
+
+    for ep in range(1, args.epochs + 1):
+        states = states.replace(
+            epoch=jnp.full((f,), ep - 1, jnp.int32)
+        )
+        train_pools = stacked.train_pools
+        if async_mode:
+            train_pools = [
+                WG.async_pool(s.train, np.random.default_rng(args.seed + ep))
+                for s in splits
+            ]
+        orders = [r.permutation(len(p)) for r, p in zip(host_rngs, train_pools)]
+        idx, valid = stack_index_batches(train_pools, orders, args.batch_size)
+        k_trs, k_evs = [], []
+        for i in range(f):
+            keys[i], k_tr, k_ev = jax.random.split(keys[i], 3)
+            k_trs.append(k_tr)
+            k_evs.append(k_ev)
+        rngs_tr = stack_epoch_rngs(k_trs, idx.shape[1])
+        states, metrics = vrunner.train_epoch(
+            states, stacked_dev["xs"], stacked_dev["ys"], idx, valid, rngs_tr, ctx
+        )
+        tr = aggregate_folds(metrics)
+
+        rngs_ev = stack_epoch_rngs(k_evs, eval_idx.shape[1])
+        outs = vrunner.eval_epoch(
+            states.params, stacked_dev["exs"], stacked_dev["eys"], eval_idx,
+            eval_valid, rngs_ev, ctx, jnp.asarray(ep - 1, jnp.int32),
+            jnp.ones((3,), bool),
+        )
+        ev = aggregate_folds(outs)
+        macros = (
+            ev["acc_batchmean"].mean(axis=1) if async_mode else ev["ens_acc"]
+        )
+        improved = [st.update(float(m)) for st, m in zip(stoppers, macros)]
+        if any(improved):
+            ph = jax.device_get(states.params)
+            for i, imp in enumerate(improved):
+                if imp:
+                    best_per_mod[i] = ev["acc_batchmean"][i]
+                    best_params_host = jax.tree_util.tree_map(
+                        lambda b, new: _set_row(b, new, i), best_params_host, ph
+                    )
+        if args.verbose:
+            live = sum(not st.stop for st in stoppers)
+            print(
+                f"[vmap-cv] Ep {ep:03d} | macro="
+                f"{np.array2string(np.asarray(macros), precision=1)} "
+                f"best={np.array2string(np.asarray([s.best for s in stoppers]), precision=1)} "
+                f"live_folds={live}"
+            )
+        if all(st.stop for st in stoppers):
+            print(f"[vmap-cv] all folds early-stopped at epoch {ep}")
+            break
+
+    # --- masked relaxed-input eval at each fold's best params --------------
+    best_states = states.replace(params=jax.device_put(best_params_host))
+    mask_fold_scores: Dict[str, List[float]] = {}
+    for mk, tup in MASK_COMBOS.items():
+        k_evs = []
+        for i in range(f):
+            keys[i], k_ev = jax.random.split(keys[i])
+            k_evs.append(k_ev)
+        rngs_ev = stack_epoch_rngs(k_evs, eval_idx.shape[1])
+        outs = vrunner.eval_epoch(
+            best_states.params, stacked_dev["exs"], stacked_dev["eys"],
+            eval_idx, eval_valid, rngs_ev, ctx,
+            jnp.asarray(args.epochs, jnp.int32), jnp.asarray(tup, bool),
+        )
+        r = aggregate_folds(outs)
+        if async_mode:
+            on = np.asarray(tup, bool)
+            scores = r["acc_batchmean"][:, on].mean(axis=1)
+        else:
+            scores = r["ens_acc"]
+        mask_fold_scores[mk] = [float(s) for s in scores]
+
+    fold_macro = [st.best for st in stoppers]
+    print("\n=== Summary (vmapped CV) ===")
+    print(
+        f"Macro acc mean ± std: {np.mean(fold_macro):.2f}% ± "
+        f"{np.std(fold_macro):.2f}%"
+    )
+    print("\n=== Masked accuracy at best epoch (avg across folds) ===")
+    for mk, arr in mask_fold_scores.items():
+        a = np.asarray(arr, float)
+        print(f"[{mk:5}] {a.mean():5.2f}% ± {a.std():4.2f}%  over {len(a)} folds")
+    return {
+        "macro": (float(np.mean(fold_macro)), float(np.std(fold_macro))),
+        "per_fold_macro": [float(x) for x in fold_macro],
+        "per_mod": {
+            "walkway": float(best_per_mod[:, 0].mean()),
+            "insole": float(best_per_mod[:, 1].mean()),
+            "imu": float(best_per_mod[:, 2].mean()),
+        },
+        "masks": {k: float(np.mean(v)) for k, v in mask_fold_scores.items()},
+    }
+
+
+def _set_row(best_leaf, new_leaf, i):
+    out = np.asarray(best_leaf).copy()
+    out[i] = np.asarray(new_leaf)[i]
+    return out

@@ -1,0 +1,78 @@
+"""Vmapped cross-validation (gaitpd/train/vmap_cv.py): numerical equivalence
+with the sequential fold loop, and fold-axis sharding over the device mesh."""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+
+import gaitpd.train.weargait_driver as wd  # noqa: E402
+from gaitpd.train.vmap_cv import run_cv_vmapped  # noqa: E402
+from gaitpd.train.weargait_driver import WearGaitArgs, run_cv  # noqa: E402
+
+
+def fixed_length_streams(n_per_class, t=448, seed=0):
+    """Streams with IDENTICAL lengths so every fold has the same window/batch
+    counts — the condition under which the vmapped driver's per-fold RNG
+    chains match the sequential driver's exactly."""
+    from gaitpd.data.synthetic import make_weargait_streams
+
+    streams, pd_ids, hc_ids = make_weargait_streams(
+        n_pd=n_per_class, n_hc=n_per_class, t_frames=t + 60, seed=seed
+    )
+    streams = {k: {m: v[:t] for m, v in sub.items()} for k, sub in streams.items()}
+    return streams, pd_ids, hc_ids
+
+
+@pytest.mark.parametrize("async_mode", [False, True])
+def test_vmap_cv_matches_sequential(monkeypatch, async_mode):
+    """With equal fold sizes, vmapped CV must reproduce the sequential
+    driver's metrics (same inits, same per-fold host orders, same per-fold
+    jax keys) to float tolerance — including the 7-subset masked eval."""
+    fixed = fixed_length_streams(n_per_class=8, seed=3)
+    monkeypatch.setattr(wd, "get_streams", lambda args: fixed)
+
+    kw = dict(
+        n_folds=2, test_per_class=3, epochs=3, patience=50, wm="gcl",
+        alpha=0.5, seed=7, synthetic=True, verbose=False,
+        async_loading=async_mode,
+    )
+    seq = run_cv(WearGaitArgs(**kw))
+    vm = run_cv_vmapped(WearGaitArgs(**kw))
+
+    np.testing.assert_allclose(vm["macro"][0], seq["macro"][0], atol=2e-2)
+    for m in ("walkway", "insole", "imu"):
+        np.testing.assert_allclose(
+            vm["per_mod"][m], seq["per_mod"][m], atol=2e-2, err_msg=m
+        )
+    for mk in seq["masks"]:
+        np.testing.assert_allclose(
+            vm["masks"][mk], seq["masks"][mk], atol=2e-2, err_msg=mk
+        )
+
+
+def test_vmap_cv_fold_sharded_mesh():
+    """8 folds sharded over the 8-device mesh (fold-parallel CV): runs one
+    epoch end-to-end and yields finite per-fold macros."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    from gaitpd.runtime.mesh import make_mesh
+
+    args = WearGaitArgs(
+        n_folds=8, test_per_class=1, epochs=2, patience=50, wm="gcl",
+        alpha=0.5, seed=0, synthetic=True, verbose=False,
+        mesh=make_mesh(8),
+    )
+    res = run_cv_vmapped(args)
+    assert len(res["per_fold_macro"]) == 8
+    assert np.all(np.isfinite(res["per_fold_macro"]))
+    assert np.isfinite(res["macro"][0])
+
+
+def test_vmap_cv_rejects_unsupported_modes():
+    with pytest.raises(ValueError):
+        run_cv_vmapped(WearGaitArgs(baseline="focal", synthetic=True))
+    with pytest.raises(ValueError):
+        run_cv_vmapped(WearGaitArgs(single_mod="imu", synthetic=True))
+    with pytest.raises(ValueError):
+        run_cv_vmapped(WearGaitArgs(ckpt_dir="/tmp/x", synthetic=True))
