@@ -126,6 +126,10 @@ def run_fbg_fog(ns: argparse.Namespace):
         rebuild_cache=ns.rebuild_cache,
         mesh=getattr(ns, "mesh", None),
     )
+    if getattr(ns, "vmap_folds", False):
+        from gaitpd.train.vmap_cv import run_fbg_fog_vmapped
+
+        return run_fbg_fog_vmapped(args)
     return main(args)
 
 

@@ -437,3 +437,243 @@ def _set_row(best_leaf, new_leaf, i):
     out = np.asarray(best_leaf).copy()
     out[i] = np.asarray(new_leaf)[i]
     return out
+
+
+# ---------------------------------------------------------------------------
+# The FBG/FoG vmapped CV driver
+# ---------------------------------------------------------------------------
+
+
+def run_fbg_fog_vmapped(args):
+    """Drop-in replacement for fbg_fog_driver.main that trains all
+    class-stratified folds of each modality simultaneously (reference
+    sequential loop: fbg_fog_train.py:410-436). Same summary dict; per-fold
+    RNG streams match the sequential driver whenever fold batch counts
+    agree. Checkpointing stays on the sequential path."""
+    import dataclasses as _dc
+
+    from gaitpd.config import FBG_FOG_DIMS, FBG_FOG_TRAIN, normalize_dataset_name
+    from gaitpd.train.fbg_fog_driver import get_reader
+    from gaitpd.train.cv import (
+        fbg_label_dict,
+        fog_label_dict,
+        generate_class_stratified_folds,
+    )
+
+    if args.ckpt_dir:
+        raise ValueError("vmapped CV does not checkpoint; use the sequential path")
+
+    dataset = normalize_dataset_name(args.dataset)
+    reader = get_reader(args)
+    rng = np.random.default_rng(args.seed)
+    label_dict = fbg_label_dict(reader) if dataset == "fbg" else fog_label_dict(reader)
+    folds = generate_class_stratified_folds(label_dict, rng)
+    if args.n_folds_cap:
+        folds = folds[: args.n_folds_cap]
+
+    if args.modality == "all":
+        modes = ["skeleton", "sensor", "multimodal"]
+    elif args.modality == "both":
+        modes = ["skeleton", "sensor"]
+    else:
+        modes = [args.modality]
+
+    summary = {}
+    for mod in modes:
+        margs = _dc.replace(args, modality=mod)
+        print(f"\n>>> MODE: {mod.upper()} (vmapped folds) <<<")
+        results = _fbg_fog_folds_vmapped(reader, folds, margs)
+        arr = np.asarray(results)
+        mean_sk, mean_se, mean_av = arr.mean(axis=0)
+        if mod == "multimodal" and args.synchronized_loading:
+            print(f"mean Ensemble Acc: {mean_av:.2f}%")
+        else:
+            print(f"mean skel={mean_sk:.2f}%, sensor={mean_se:.2f}%, avg={mean_av:.2f}%")
+        summary[mod] = dict(skel=mean_sk, sensor=mean_se, avg=mean_av)
+    return summary
+
+
+def _fbg_fog_folds_vmapped(reader, folds, args):
+    """All folds of one modality at once. Returns [(sk, se, avg)] per fold,
+    mirroring fbg_fog_driver.train_one_fold's best-epoch selection and
+    collected-prediction accuracies."""
+    from gaitpd import train as _t  # noqa: F401
+    from gaitpd.config import FBG_FOG_DIMS, FBG_FOG_TRAIN, normalize_dataset_name
+    from gaitpd.data.fbg_fog import build_fusion_fold
+    from gaitpd.learning.mtl import make_method
+    from gaitpd.train import metrics as M
+    from gaitpd.train.fbg_fog_driver import choose_model, fold_to_device
+    from gaitpd.train.optim import sgd_torch
+    from gaitpd.train.step import StepSettings, make_loss_ctx
+
+    dataset = normalize_dataset_name(args.dataset)
+    dims = FBG_FOG_DIMS[dataset]
+    tp = FBG_FOG_TRAIN[dataset]
+    epochs = args.epochs or tp.epochs
+    batch_size = args.batch_size or tp.batch_size
+    multimodal = args.modality == "multimodal"
+    n_streams = 2 if multimodal else 1
+    f = len(folds)
+
+    datas = []
+    for train_subj, eval_subj in folds:
+        fold = build_fusion_fold(
+            dataset, reader, train_subj, eval_subj,
+            synchronized=args.synchronized_loading, seed=args.seed,
+            pad_skel=dims.pose_length, pad_sens=dims.sensor_length,
+            modality=args.modality,
+        )
+        datas.append(fold_to_device(fold, args.modality))
+    stacked = stack_folds(datas)
+
+    settings = StepSettings(
+        n_streams=n_streams, wm=args.wm, synchronized=args.synchronized_loading,
+        ldam_s=args.ldam_s, gcl_m=args.gcl_m, gcl_s=args.gcl_s,
+        noise_mul=args.noise_mul, drw_warmup=args.drw_warmup,
+        consistency_lambda=args.consistency_lambda if multimodal else 0.0,
+        private_grads="sum",
+    )
+    ctxs = []
+    for d in datas:
+        counts = [
+            np.bincount(np.asarray(d.ys[k])[d.train_pool[:, k]],
+                        minlength=dims.num_classes)
+            for k in range(n_streams)
+        ]
+        ctxs.append(make_loss_ctx(settings, counts, ldam_max_m=args.ldam_m))
+    ctx = stack_ctx(ctxs)
+
+    model = choose_model(args, dims)
+    tx = sgd_torch(tp.learning_rate, tp.momentum, tp.weight_decay)
+    mtl = None
+    if multimodal and args.alpha > 0:
+        kwargs = (
+            {"c": args.alpha, "max_norm": args.max_norm}
+            if args.mtl_method in ("cagrad", "log_cagrad")
+            else {}
+        )
+        mtl = make_method(args.mtl_method, n_streams, **kwargs)
+
+    sample_xs = tuple(np.asarray(x[0, :2]) for x in stacked.xs)
+    states, partition = init_stacked_state(
+        model, tx, mtl, sample_xs, [args.seed] * f
+    )
+    mesh = args.mesh
+    if mesh is not None and f % mesh.devices.size != 0:
+        print(
+            f"[vmap-cv] {f} folds not divisible by {mesh.devices.size} "
+            "devices; running single-device"
+        )
+        mesh = None
+    runner = EpochRunner(model.apply, tx, settings, mtl, partition)
+    vrunner = VmapEpochRunner(runner, mesh=mesh)
+    states = vrunner.shard_folds(states)
+    dev = vrunner.shard_folds(
+        {"xs": stacked.xs, "ys": stacked.ys, "exs": stacked.eval_xs,
+         "eys": stacked.eval_ys}
+    )
+
+    host_rngs = [np.random.default_rng(args.seed + 1000 * fi)
+                 for fi in range(1, f + 1)]
+    keys = [jax.random.PRNGKey(args.seed + fi) for fi in range(1, f + 1)]
+    stoppers = [EarlyStopper(patience=tp.patience) for _ in range(f)]
+    best_payload = [None] * f
+
+    eval_orders = [np.arange(len(p)) for p in stacked.eval_pools]
+    eval_idx, eval_valid = stack_index_batches(
+        stacked.eval_pools, eval_orders, batch_size
+    )
+    # per-fold flattened validity masks for collected predictions
+    eval_vmasks = []
+    for p in stacked.eval_pools:
+        ixf, vaf = batch_index_matrix(np.arange(len(p)), batch_size)
+        pad = np.zeros(
+            (eval_idx.shape[1] - ixf.shape[0], ixf.shape[1]), np.float32
+        )
+        eval_vmasks.append(np.concatenate([vaf, pad], 0).reshape(-1) > 0)
+
+    mask = jnp.ones((n_streams,), bool)
+    for ep in range(0, epochs):
+        states = states.replace(epoch=jnp.full((f,), ep, jnp.int32))
+        orders = [r.permutation(len(p)) for r, p in
+                  zip(host_rngs, stacked.train_pools)]
+        idx, valid = stack_index_batches(stacked.train_pools, orders, batch_size)
+        k_trs, k_evs = [], []
+        for i in range(f):
+            keys[i], k_tr, k_ev = jax.random.split(keys[i], 3)
+            k_trs.append(k_tr)
+            k_evs.append(k_ev)
+        states, metrics = vrunner.train_epoch(
+            states, dev["xs"], dev["ys"], idx, valid,
+            stack_epoch_rngs(k_trs, idx.shape[1]), ctx,
+        )
+        outs = vrunner.eval_epoch(
+            states.params, dev["exs"], dev["eys"], eval_idx, eval_valid,
+            stack_epoch_rngs(k_evs, eval_idx.shape[1]), ctx,
+            jnp.asarray(ep, jnp.int32), mask,
+        )
+        ev = aggregate_folds(outs)
+        if multimodal and args.synchronized_loading:
+            avgs = ev["ens_acc"]
+        elif multimodal:
+            avgs = ev["acc"].mean(axis=1)
+        else:
+            avgs = ev["acc"][:, 0]
+
+        improved = [st.update(float(a)) for st, a in zip(stoppers, avgs)]
+        if any(improved):
+            preds = np.asarray(outs["preds"])  # (F, n_b, K, B)
+            preds_ens = np.asarray(outs["pred_ens"])  # (F, n_b, B)
+            for i, imp in enumerate(improved):
+                if not imp:
+                    continue
+                vm = eval_vmasks[i]
+                pool = stacked.eval_pools[i]
+                ixf, _ = batch_index_matrix(np.arange(len(pool)), batch_size)
+                n_flat = ixf.shape[0] * ixf.shape[1]
+                flat_pool = np.zeros((len(vm), pool.shape[1]), pool.dtype)
+                flat_pool[:n_flat] = pool[ixf.reshape(-1)]
+                rows = flat_pool[vm]
+                best_payload[i] = {
+                    "preds": [
+                        preds[i, :, k, :].reshape(-1)[vm]
+                        for k in range(n_streams)
+                    ],
+                    "trues": [
+                        np.asarray(stacked.eval_ys[src][i])[rows[:, src]]
+                        for src in range(n_streams)
+                    ],
+                    "preds_ens": preds_ens[i].reshape(-1)[vm],
+                }
+        if args.verbose:
+            print(
+                f"[vmap-cv] Ep {ep + 1:03d}/{epochs} | avg="
+                f"{np.array2string(np.asarray(avgs), precision=1)} "
+                f"best={np.array2string(np.asarray([s.best for s in stoppers]), precision=1)}"
+            )
+        if all(st.stop for st in stoppers):
+            print(f"[vmap-cv] all folds early-stopped at epoch {ep + 1}")
+            break
+
+    results = []
+    for i in range(f):
+        p = best_payload[i]
+        if p is None:
+            results.append((0.0, 0.0, 0.0))
+            continue
+        if args.modality == "skeleton":
+            sk, se = M.accuracy(p["preds"][0], p["trues"][0]), 0.0
+        elif args.modality == "sensor":
+            sk, se = 0.0, M.accuracy(p["preds"][0], p["trues"][0])
+        else:
+            sk = M.accuracy(p["preds"][0], p["trues"][0])
+            se = M.accuracy(p["preds"][1], p["trues"][1])
+        results.append((sk, se, stoppers[i].best))
+        if args.verbose:
+            if multimodal and args.synchronized_loading:
+                M.print_report(p["trues"][0], p["preds_ens"],
+                               f"Fold {i + 1} Best Ensemble")
+            else:
+                M.print_report(p["trues"][0], p["preds"][0],
+                               f"Fold {i + 1} Best Stream0")
+    return results

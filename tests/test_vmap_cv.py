@@ -76,3 +76,30 @@ def test_vmap_cv_rejects_unsupported_modes():
         run_cv_vmapped(WearGaitArgs(single_mod="imu", synthetic=True))
     with pytest.raises(ValueError):
         run_cv_vmapped(WearGaitArgs(ckpt_dir="/tmp/x", synthetic=True))
+
+
+@pytest.mark.parametrize(
+    "config",
+    [
+        dict(modality="sensor", wm="ce", alpha=0.0),
+        dict(modality="multimodal", wm="gcl", use_norm_and_cos=True, alpha=0.1),
+        dict(modality="multimodal", wm="ce", synchronized_loading=True, alpha=0.0),
+    ],
+    ids=["sensor_ce", "mm_gcl_cagrad", "mm_ce_sync"],
+)
+def test_fbg_fog_vmap_matches_sequential(config):
+    """FBG/FoG vmapped folds reproduce the sequential driver (same inits,
+    orders, key chains) across the sensor-only, GCL+CAGrad and synchronized
+    paths — including the collected best-epoch accuracies."""
+    from gaitpd.train.fbg_fog_driver import FbgFogArgs, main
+    from gaitpd.train.vmap_cv import run_fbg_fog_vmapped
+
+    kw = dict(dataset="fog", epochs=4, synthetic=True, seed=5, verbose=False,
+              **config)
+    seq = main(FbgFogArgs(**kw))
+    vm = run_fbg_fog_vmapped(FbgFogArgs(**kw))
+    mod = config["modality"]
+    for key in ("skel", "sensor", "avg"):
+        np.testing.assert_allclose(
+            vm[mod][key], seq[mod][key], atol=2e-2, err_msg=key
+        )
