@@ -76,10 +76,19 @@ def main(argv=None):
     p.add_argument("--wm", default="ce")
     p.add_argument("--out", default="sweeps/run")
     p.add_argument("--rerun", action="store_true", help="ignore existing results")
+    p.add_argument("--vmap_seeds", action="store_true",
+                   help="fusion mode: train every (seed x fold) instance of a "
+                        "fusion type in ONE vmapped compiled program instead "
+                        "of sequential jobs (the TPU-native replacement for "
+                        "run_all.sh's GPU job farm)")
     ns = p.parse_args(argv)
 
     out_root = Path(ns.out)
     variants = ns.fusion_types if ns.mode == "fusion" else [ns.mode]
+
+    if ns.vmap_seeds and ns.mode == "fusion":
+        return _vmap_fusion_sweep(ns, out_root)
+
     jobs = [(v, s) for v in variants for s in ns.seeds]
     print(f"[SWEEP] {len(jobs)} jobs -> {out_root}")
     done = skipped = failed = 0
@@ -112,6 +121,59 @@ def main(argv=None):
         else:
             failed += 1
             print(f"[FAIL] {name}")
+    print(f"[SWEEP] done={done} skipped={skipped} failed={failed}")
+    return {"done": done, "skipped": skipped, "failed": failed}
+
+
+def _vmap_fusion_sweep(ns, out_root: Path) -> dict:
+    """One vmapped program per fusion type trains every pending (seed x
+    fold) instance simultaneously (gaitpd.train.vmap_cv). Result files keep
+    the sequential sweep's schema, so skip-if-done/resume interoperate."""
+    from gaitpd.train.vmap_cv import run_fusion_seeds_vmapped
+
+    done = skipped = failed = 0
+    for variant in ns.fusion_types:
+        pending = []
+        for seed in ns.seeds:
+            name = f"{ns.mode}_{ns.dataset}_{variant}_seed{seed}.json"
+            if (out_root / name).exists() and not ns.rerun:
+                print(f"[SKIP] {name}")
+                skipped += 1
+            else:
+                pending.append(seed)
+        if not pending:
+            continue
+        print(f"[RUN ] {variant}: {len(pending)} seeds vmapped")
+        t0 = time.time()
+        try:
+            results = run_fusion_seeds_vmapped(
+                ns.dataset, variant, pending, synced=ns.synchronized_loading,
+                epochs=ns.epochs, n_folds_cap=ns.n_folds_cap,
+                synthetic=ns.synthetic,
+            )
+            status = "ok"
+        except Exception:  # noqa: BLE001 — a failed variant must not kill the sweep
+            print(f"[FAIL] {variant}\n{traceback.format_exc()}")
+            failed += len(pending)
+            continue
+        dt = round(time.time() - t0, 1)
+        out_root.mkdir(parents=True, exist_ok=True)
+        for seed in pending:
+            name = f"{ns.mode}_{ns.dataset}_{variant}_seed{seed}.json"
+            payload = {
+                "status": status,
+                "mode": ns.mode,
+                "args": dict(dataset=ns.dataset, seed=seed,
+                             synthetic=ns.synthetic, verbose=False,
+                             fusion_type=variant,
+                             synced=ns.synchronized_loading, epochs=ns.epochs,
+                             n_folds_cap=ns.n_folds_cap, vmap_seeds=True),
+                "result": results[seed],
+                "runtime_s": dt,
+            }
+            (out_root / name).write_text(json.dumps(payload, indent=2,
+                                                    default=str))
+            done += 1
     print(f"[SWEEP] done={done} skipped={skipped} failed={failed}")
     return {"done": done, "skipped": skipped, "failed": failed}
 

@@ -677,3 +677,210 @@ def _fbg_fog_folds_vmapped(reader, folds, args):
                 M.print_report(p["trues"][0], p["preds"][0],
                                f"Fold {i + 1} Best Stream0")
     return results
+
+
+# ---------------------------------------------------------------------------
+# Vmapped fusion sweep: all (seed x fold) instances of one fusion config at
+# once — the TPU-native replacement for the reference's run_all.sh job farm
+# axis (fusion_type x seeds round-robined over GPUs, run_all.sh:9-31).
+# ---------------------------------------------------------------------------
+
+
+def run_fusion_seeds_vmapped(
+    dataset: str,
+    fusion_type: str,
+    seeds: List[int],
+    *,
+    synced: bool = False,
+    epochs: Optional[int] = None,
+    batch_size: Optional[int] = None,
+    n_folds_cap: Optional[int] = None,
+    synthetic: bool = False,
+    verbose: bool = False,
+):
+    """Train every (seed, fold) instance of one fusion configuration in a
+    single vmapped program. Seeds vary BOTH the data sampling (reader /
+    folds / oversampling, like the reference sweep) and the model init.
+    Returns {seed: {"skel","sensor","avg"}} with the sequential driver's
+    best-epoch collected accuracies."""
+    from gaitpd.config import FBG_FOG_DIMS, normalize_dataset_name
+    from gaitpd.data.fbg_fog import build_fusion_fold
+    from gaitpd.models import fusion as FU
+    from gaitpd.train import metrics as M
+    from gaitpd.train.baseline_drivers import BaselineArgs, _hp
+    from gaitpd.train.cv import (
+        fbg_label_dict,
+        fog_label_dict,
+        generate_class_stratified_folds,
+        FOG_EXCLUDED_SUBJECTS,
+    )
+    from gaitpd.train.fbg_fog_driver import fold_to_device
+    from gaitpd.train.optim import adam_torch
+    from gaitpd.train.step import StepSettings, make_loss_ctx
+
+    dataset = normalize_dataset_name(dataset)
+    dims = FBG_FOG_DIMS[dataset]
+    hp = _hp(BaselineArgs(kind="fusion", epochs=epochs, batch_size=batch_size),
+             dataset)
+    two_heads = (not synced) or (fusion_type == "share_latent")
+    n_heads = 2 if two_heads else 1
+    head_inputs = (0, 1) if two_heads else (0,)
+
+    # --- build every (seed, fold) instance ---------------------------------
+    instances = []  # (seed, fold_idx, DeviceFoldData)
+    for seed in seeds:
+        if synthetic:
+            from gaitpd.data import synthetic as SYN
+
+            reader = (
+                SYN.make_fbg_reader(seed=seed)
+                if dataset == "fbg"
+                else SYN.make_fog_reader(seed=seed)
+            )
+        else:
+            from gaitpd.data.cache import load_reader
+
+            reader = load_reader(dataset)
+        rng = np.random.default_rng(seed)
+        label_dict = (
+            fbg_label_dict(reader) if dataset == "fbg" else fog_label_dict(reader)
+        )
+        folds = generate_class_stratified_folds(label_dict, rng)
+        if n_folds_cap:
+            folds = folds[:n_folds_cap]
+        for fi, (tr, te) in enumerate(folds, 1):
+            fold = build_fusion_fold(
+                dataset, reader, tr, te, synchronized=synced, seed=seed,
+                pad_skel=dims.pose_length, pad_sens=hp["sensor_length"],
+                modality="multimodal",
+            )
+            instances.append((seed, fi, fold_to_device(fold, "multimodal")))
+
+    f = len(instances)
+    datas = [d for _, _, d in instances]
+    stacked = stack_folds(datas)
+
+    settings = StepSettings(
+        n_streams=n_heads, wm="ce", synchronized=synced, loss_reduction="mean"
+    )
+    ctxs = []
+    for d in datas:
+        counts = [
+            np.bincount(np.asarray(d.ys[i])[d.train_pool[:, i]],
+                        minlength=dims.num_classes)
+            for i in head_inputs
+        ]
+        ctxs.append(make_loss_ctx(settings, counts))
+    ctx = stack_ctx(ctxs)
+
+    cls = FU.TWO_MOD_FUSIONS[fusion_type]
+    model = cls(
+        skeleton_output_dim=dims.skeleton_output_dim,
+        sensor_out_channels=dims.sensor_out_channels,
+        sensor_length=hp["sensor_length"],
+        pose_length=dims.pose_length,
+        shared_out_channels=dims.shared_out_channels,
+        backbone_dim=dims.backbone_dim,
+        num_classes=dims.num_classes,
+        synchronized_loading=synced,
+    )
+    tx = adam_torch(hp["lr"])
+    sample_xs = tuple(np.asarray(x[0, :2]) for x in stacked.xs)
+    states, _ = init_stacked_state(
+        model, tx, None, sample_xs, [s for s, _, _ in instances]
+    )
+    runner = EpochRunner(
+        model.apply, tx, settings, None, None, head_inputs=head_inputs
+    )
+    vrunner = VmapEpochRunner(runner)
+
+    host_rngs = [
+        np.random.default_rng(seed + 1000 * fi) for seed, fi, _ in instances
+    ]
+    keys = [jax.random.PRNGKey(seed + fi) for seed, fi, _ in instances]
+    stoppers = [EarlyStopper(patience=hp["patience"]) for _ in range(f)]
+    best_payload = [None] * f
+
+    eval_idx, eval_valid = stack_index_batches(
+        stacked.eval_pools,
+        [np.arange(len(p)) for p in stacked.eval_pools],
+        hp["batch"],
+    )
+    eval_vmasks = []
+    for p in stacked.eval_pools:
+        ixf, vaf = batch_index_matrix(np.arange(len(p)), hp["batch"])
+        pad = np.zeros((eval_idx.shape[1] - ixf.shape[0], ixf.shape[1]), np.float32)
+        eval_vmasks.append(np.concatenate([vaf, pad], 0).reshape(-1) > 0)
+
+    mask = jnp.ones((n_heads,), bool)
+    for ep in range(1, hp["epochs"] + 1):
+        states = states.replace(epoch=jnp.full((f,), ep - 1, jnp.int32))
+        orders = [r.permutation(len(p)) for r, p in
+                  zip(host_rngs, stacked.train_pools)]
+        idx, valid = stack_index_batches(stacked.train_pools, orders, hp["batch"])
+        k_trs, k_evs = [], []
+        for i in range(f):
+            keys[i], k_tr, k_ev = jax.random.split(keys[i], 3)
+            k_trs.append(k_tr)
+            k_evs.append(k_ev)
+        states, _m = vrunner.train_epoch(
+            states, stacked.xs, stacked.ys, idx, valid,
+            stack_epoch_rngs(k_trs, idx.shape[1]), ctx,
+        )
+        outs = vrunner.eval_epoch(
+            states.params, stacked.eval_xs, stacked.eval_ys, eval_idx,
+            eval_valid, stack_epoch_rngs(k_evs, eval_idx.shape[1]), ctx,
+            jnp.asarray(ep - 1, jnp.int32), mask,
+        )
+        ev = aggregate_folds(outs)
+        scores = ev["acc"][:, 0] if n_heads == 1 else ev["acc"].mean(axis=1)
+        improved = [st.update(float(s)) for st, s in zip(stoppers, scores)]
+        if any(improved):
+            preds = np.asarray(outs["preds"])
+            for i, imp in enumerate(improved):
+                if not imp:
+                    continue
+                vm = eval_vmasks[i]
+                pool = stacked.eval_pools[i]
+                ixf, _ = batch_index_matrix(np.arange(len(pool)), hp["batch"])
+                n_flat = ixf.shape[0] * ixf.shape[1]
+                flat_pool = np.zeros((len(vm), pool.shape[1]), pool.dtype)
+                flat_pool[:n_flat] = pool[ixf.reshape(-1)]
+                rows = flat_pool[vm]
+                best_payload[i] = {
+                    "preds": [preds[i, :, k, :].reshape(-1)[vm]
+                              for k in range(n_heads)],
+                    "trues": [np.asarray(stacked.eval_ys[src][i])[rows[:, src]]
+                              for src in head_inputs],
+                }
+        if verbose:
+            print(
+                f"[vmap-sweep {fusion_type}] Ep {ep:03d}/{hp['epochs']} best="
+                f"{np.array2string(np.asarray([s.best for s in stoppers]), precision=1)}"
+            )
+        if all(st.stop for st in stoppers):
+            break
+
+    # --- per-instance accs -> per-seed means --------------------------------
+    per_seed: Dict[int, List[Tuple[float, float, float]]] = {}
+    for i, (seed, fi, _) in enumerate(instances):
+        p = best_payload[i]
+        if p is None:
+            per_seed.setdefault(seed, []).append((0.0, 0.0, 0.0))
+            continue
+        if n_heads == 1:
+            acc = M.accuracy(p["preds"][0], p["trues"][0])
+            per_seed.setdefault(seed, []).append((acc, 0.0, acc))
+        else:
+            sk = M.accuracy(p["preds"][0], p["trues"][0])
+            se = M.accuracy(p["preds"][1], p["trues"][1])
+            per_seed.setdefault(seed, []).append((sk, se, 0.5 * (sk + se)))
+    out = {}
+    for seed, rows in per_seed.items():
+        arr = np.asarray(rows)
+        out[seed] = {
+            "skel": float(arr[:, 0].mean()),
+            "sensor": float(arr[:, 1].mean()),
+            "avg": float(arr[:, 2].mean()),
+        }
+    return out

@@ -103,3 +103,46 @@ def test_fbg_fog_vmap_matches_sequential(config):
         np.testing.assert_allclose(
             vm[mod][key], seq[mod][key], atol=2e-2, err_msg=key
         )
+
+
+def test_fusion_seeds_vmap_matches_sequential():
+    """run_fusion_seeds_vmapped reproduces the sequential fusion driver per
+    seed (seeds vary data AND init, like the reference's run_all.sh axis)."""
+    from gaitpd.train.baseline_drivers import BaselineArgs
+    from gaitpd.train.baseline_drivers import main as seq_main
+    from gaitpd.train.vmap_cv import run_fusion_seeds_vmapped
+
+    seeds = [0, 1]
+    vm = run_fusion_seeds_vmapped(
+        "fog", "cheap_xattn", seeds, synced=True, epochs=3, n_folds_cap=2,
+        synthetic=True,
+    )
+    for seed in seeds:
+        seq = seq_main(BaselineArgs(
+            kind="fusion", dataset="fog", fusion_type="cheap_xattn",
+            synced=True, seed=seed, epochs=3, n_folds_cap=2, synthetic=True,
+            verbose=False,
+        ))
+        for key in ("skel", "sensor", "avg"):
+            np.testing.assert_allclose(
+                vm[seed][key], seq[key], atol=2e-2, err_msg=f"seed{seed}:{key}"
+            )
+
+
+def test_vmap_sweep_skip_if_done(tmp_path):
+    """The vmapped sweep writes the sequential sweep's result schema, so
+    skip-if-done resume interoperates across both modes."""
+    from gaitpd import sweep
+
+    argv = ["--mode", "fusion", "--dataset", "fog", "--synthetic",
+            "--synchronized_loading", "--fusion_types", "early",
+            "--seeds", "0", "1", "--epochs", "1", "--n_folds_cap", "1",
+            "--out", str(tmp_path), "--vmap_seeds"]
+    r1 = sweep.main(argv)
+    assert r1 == {"done": 2, "skipped": 0, "failed": 0}
+    # rerun (vmapped): all skipped
+    r2 = sweep.main(argv)
+    assert r2 == {"done": 0, "skipped": 2, "failed": 0}
+    # rerun through the SEQUENTIAL path: still skipped (schema interop)
+    r3 = sweep.main(argv[:-1])
+    assert r3 == {"done": 0, "skipped": 2, "failed": 0}
