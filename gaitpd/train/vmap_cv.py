@@ -742,8 +742,12 @@ def run_fusion_seeds_vmapped(
 
             reader = load_reader(dataset)
         rng = np.random.default_rng(seed)
+        # baseline_drivers.main passes the FoG exclusions for fbg too
+        # (reference focal_train.py:155, deepav_train.py:162)
         label_dict = (
-            fbg_label_dict(reader) if dataset == "fbg" else fog_label_dict(reader)
+            fbg_label_dict(reader, exclude=FOG_EXCLUDED_SUBJECTS)
+            if dataset == "fbg"
+            else fog_label_dict(reader)
         )
         folds = generate_class_stratified_folds(label_dict, rng)
         if n_folds_cap:
