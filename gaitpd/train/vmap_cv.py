@@ -368,7 +368,12 @@ def run_cv_vmapped(args):
         macros = (
             ev["acc_batchmean"].mean(axis=1) if async_mode else ev["ens_acc"]
         )
-        improved = [st.update(float(m)) for st, m in zip(stoppers, macros)]
+        # a fold that has exhausted its patience is FROZEN (the
+        # sequential driver breaks out of its loop there; training the
+        # stacked weights further is harmless but its best snapshot
+        # must not keep improving)
+        improved = [(not st.stop) and st.update(float(v))
+                    for st, v in zip(stoppers, macros)]
         if any(improved):
             ph = jax.device_get(states.params)
             for i, imp in enumerate(improved):
@@ -620,7 +625,12 @@ def _fbg_fog_folds_vmapped(reader, folds, args):
         else:
             avgs = ev["acc"][:, 0]
 
-        improved = [st.update(float(a)) for st, a in zip(stoppers, avgs)]
+        # a fold that has exhausted its patience is FROZEN (the
+        # sequential driver breaks out of its loop there; training the
+        # stacked weights further is harmless but its best snapshot
+        # must not keep improving)
+        improved = [(not st.stop) and st.update(float(v))
+                    for st, v in zip(stoppers, avgs)]
         if any(improved):
             preds = np.asarray(outs["preds"])  # (F, n_b, K, B)
             preds_ens = np.asarray(outs["pred_ens"])  # (F, n_b, B)
@@ -838,7 +848,12 @@ def run_fusion_seeds_vmapped(
         )
         ev = aggregate_folds(outs)
         scores = ev["acc"][:, 0] if n_heads == 1 else ev["acc"].mean(axis=1)
-        improved = [st.update(float(s)) for st, s in zip(stoppers, scores)]
+        # a fold that has exhausted its patience is FROZEN (the
+        # sequential driver breaks out of its loop there; training the
+        # stacked weights further is harmless but its best snapshot
+        # must not keep improving)
+        improved = [(not st.stop) and st.update(float(v))
+                    for st, v in zip(stoppers, scores)]
         if any(improved):
             preds = np.asarray(outs["preds"])
             for i, imp in enumerate(improved):

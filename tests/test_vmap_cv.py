@@ -146,3 +146,23 @@ def test_vmap_sweep_skip_if_done(tmp_path):
     # rerun through the SEQUENTIAL path: still skipped (schema interop)
     r3 = sweep.main(argv[:-1])
     assert r3 == {"done": 0, "skipped": 2, "failed": 0}
+
+
+def test_vmap_cv_early_stop_equivalence(monkeypatch):
+    """With patience < epochs the sequential driver early-stops folds;
+    vmapped CV freezes a stopped fold's best tracking instead of letting its
+    (still-training) weights improve past where sequential stopped."""
+    fixed = fixed_length_streams(n_per_class=8, seed=11)
+    monkeypatch.setattr(wd, "get_streams", lambda args: fixed)
+
+    kw = dict(
+        n_folds=2, test_per_class=3, epochs=8, patience=1, wm="class_wt",
+        alpha=0.5, seed=2, synthetic=True, verbose=False,
+    )
+    seq = run_cv(WearGaitArgs(**kw))
+    vm = run_cv_vmapped(WearGaitArgs(**kw))
+    np.testing.assert_allclose(vm["macro"][0], seq["macro"][0], atol=2e-2)
+    for mk in seq["masks"]:
+        np.testing.assert_allclose(
+            vm["masks"][mk], seq["masks"][mk], atol=2e-2, err_msg=mk
+        )
