@@ -77,17 +77,17 @@ def main(argv=None):
     p.add_argument("--out", default="sweeps/run")
     p.add_argument("--rerun", action="store_true", help="ignore existing results")
     p.add_argument("--vmap_seeds", action="store_true",
-                   help="fusion mode: train every (seed x fold) instance of a "
-                        "fusion type in ONE vmapped compiled program instead "
-                        "of sequential jobs (the TPU-native replacement for "
-                        "run_all.sh's GPU job farm)")
+                   help="fusion/deepav/focal/taca: train every (seed x fold) "
+                        "instance of a configuration in ONE vmapped compiled "
+                        "program instead of sequential jobs (the TPU-native "
+                        "replacement for run_all.sh's GPU job farm)")
     ns = p.parse_args(argv)
 
     out_root = Path(ns.out)
     variants = ns.fusion_types if ns.mode == "fusion" else [ns.mode]
 
-    if ns.vmap_seeds and ns.mode == "fusion":
-        return _vmap_fusion_sweep(ns, out_root)
+    if ns.vmap_seeds and ns.mode in ("fusion", "deepav", "focal", "taca"):
+        return _vmap_seeds_sweep(ns, out_root, variants)
 
     jobs = [(v, s) for v in variants for s in ns.seeds]
     print(f"[SWEEP] {len(jobs)} jobs -> {out_root}")
@@ -125,14 +125,14 @@ def main(argv=None):
     return {"done": done, "skipped": skipped, "failed": failed}
 
 
-def _vmap_fusion_sweep(ns, out_root: Path) -> dict:
-    """One vmapped program per fusion type trains every pending (seed x
+def _vmap_seeds_sweep(ns, out_root: Path, variants) -> dict:
+    """One vmapped program per configuration trains every pending (seed x
     fold) instance simultaneously (gaitpd.train.vmap_cv). Result files keep
     the sequential sweep's schema, so skip-if-done/resume interoperate."""
-    from gaitpd.train.vmap_cv import run_fusion_seeds_vmapped
+    from gaitpd.train.vmap_cv import run_baseline_seeds_vmapped
 
     done = skipped = failed = 0
-    for variant in ns.fusion_types:
+    for variant in variants:
         pending = []
         for seed in ns.seeds:
             name = f"{ns.mode}_{ns.dataset}_{variant}_seed{seed}.json"
@@ -146,8 +146,9 @@ def _vmap_fusion_sweep(ns, out_root: Path) -> dict:
         print(f"[RUN ] {variant}: {len(pending)} seeds vmapped")
         t0 = time.time()
         try:
-            results = run_fusion_seeds_vmapped(
-                ns.dataset, variant, pending, synced=ns.synchronized_loading,
+            results = run_baseline_seeds_vmapped(
+                ns.dataset, ns.mode if ns.mode != "fusion" else "fusion",
+                variant, pending, synced=ns.synchronized_loading, wm=ns.wm,
                 epochs=ns.epochs, n_folds_cap=ns.n_folds_cap,
                 synthetic=ns.synthetic,
             )
@@ -165,7 +166,7 @@ def _vmap_fusion_sweep(ns, out_root: Path) -> dict:
                 "mode": ns.mode,
                 "args": dict(dataset=ns.dataset, seed=seed,
                              synthetic=ns.synthetic, verbose=False,
-                             fusion_type=variant,
+                             fusion_type=variant, wm=ns.wm,
                              synced=ns.synchronized_loading, epochs=ns.epochs,
                              n_folds_cap=ns.n_folds_cap, vmap_seeds=True),
                 "result": results[seed],

@@ -696,28 +696,40 @@ def _fbg_fog_folds_vmapped(reader, folds, args):
 # ---------------------------------------------------------------------------
 
 
-def run_fusion_seeds_vmapped(
+def run_fusion_seeds_vmapped(dataset, fusion_type, seeds, **kw):
+    """Back-compat alias: vmapped (seed x fold) sweep of one fusion type."""
+    return run_baseline_seeds_vmapped(dataset, "fusion", fusion_type, seeds, **kw)
+
+
+def run_baseline_seeds_vmapped(
     dataset: str,
-    fusion_type: str,
+    kind: str,
+    variant: str,
     seeds: List[int],
     *,
     synced: bool = False,
+    wm: str = "ce",
     epochs: Optional[int] = None,
     batch_size: Optional[int] = None,
     n_folds_cap: Optional[int] = None,
     synthetic: bool = False,
     verbose: bool = False,
 ):
-    """Train every (seed, fold) instance of one fusion configuration in a
-    single vmapped program. Seeds vary BOTH the data sampling (reader /
+    """Train every (seed, fold) instance of one baseline configuration
+    (kind in {fusion, deepav, focal, taca}; variant names the fusion type)
+    in a single vmapped program. Seeds vary BOTH the data sampling (reader /
     folds / oversampling, like the reference sweep) and the model init.
     Returns {seed: {"skel","sensor","avg"}} with the sequential driver's
     best-epoch collected accuracies."""
     from gaitpd.config import FBG_FOG_DIMS, normalize_dataset_name
     from gaitpd.data.fbg_fog import build_fusion_fold
-    from gaitpd.models import fusion as FU
     from gaitpd.train import metrics as M
-    from gaitpd.train.baseline_drivers import BaselineArgs, _hp
+    from gaitpd.train.baseline_drivers import (
+        BaselineArgs,
+        _adapters,
+        _build_model,
+        _hp,
+    )
     from gaitpd.train.cv import (
         fbg_label_dict,
         fog_label_dict,
@@ -725,14 +737,18 @@ def run_fusion_seeds_vmapped(
         FOG_EXCLUDED_SUBJECTS,
     )
     from gaitpd.train.fbg_fog_driver import fold_to_device
-    from gaitpd.train.optim import adam_torch
+    from gaitpd.train.optim import adam_torch, adamw_torch
     from gaitpd.train.step import StepSettings, make_loss_ctx
 
     dataset = normalize_dataset_name(dataset)
     dims = FBG_FOG_DIMS[dataset]
-    hp = _hp(BaselineArgs(kind="fusion", epochs=epochs, batch_size=batch_size),
-             dataset)
-    two_heads = (not synced) or (fusion_type == "share_latent")
+    bargs = BaselineArgs(
+        kind=kind, dataset=dataset, fusion_type=variant, synced=synced,
+        wm=wm, epochs=epochs, batch_size=batch_size, synthetic=synthetic,
+    )
+    hp = _hp(bargs, dataset)
+    # reference head rule (baseline_drivers.train_fold / fusion_train.py:168-173)
+    two_heads = (not synced) or (kind == "fusion" and variant == "share_latent")
     n_heads = 2 if two_heads else 1
     head_inputs = (0, 1) if two_heads else (0,)
 
@@ -775,7 +791,11 @@ def run_fusion_seeds_vmapped(
     stacked = stack_folds(datas)
 
     settings = StepSettings(
-        n_streams=n_heads, wm="ce", synchronized=synced, loss_reduction="mean"
+        n_streams=n_heads, wm=wm if wm in ("ce", "class_wt") else "ce",
+        synchronized=synced,
+        # fusion async averages the two CE losses (fusion_train.py:242);
+        # the SOTA drivers SUM them (deepav_train.py:94, focal_train.py:43-46)
+        loss_reduction="mean" if kind == "fusion" else "sum",
     )
     ctxs = []
     for d in datas:
@@ -787,24 +807,19 @@ def run_fusion_seeds_vmapped(
         ctxs.append(make_loss_ctx(settings, counts))
     ctx = stack_ctx(ctxs)
 
-    cls = FU.TWO_MOD_FUSIONS[fusion_type]
-    model = cls(
-        skeleton_output_dim=dims.skeleton_output_dim,
-        sensor_out_channels=dims.sensor_out_channels,
-        sensor_length=hp["sensor_length"],
-        pose_length=dims.pose_length,
-        shared_out_channels=dims.shared_out_channels,
-        backbone_dim=dims.backbone_dim,
-        num_classes=dims.num_classes,
-        synchronized_loading=synced,
-    )
-    tx = adam_torch(hp["lr"])
-    sample_xs = tuple(np.asarray(x[0, :2]) for x in stacked.xs)
+    model = _build_model(bargs, dims, hp, synced)
+    if kind == "fusion":
+        tx = adam_torch(hp["lr"])  # reference fusion_train.py:202, no clip
+    else:
+        tx = adamw_torch(hp["lr"], weight_decay=1e-4, grad_clip=1.0)
+    train_apply, eval_apply, sample_tf = _adapters(bargs, model, hp)
+    sample_xs = sample_tf(tuple(np.asarray(x[0, :2]) for x in stacked.xs))
     states, _ = init_stacked_state(
         model, tx, None, sample_xs, [s for s, _, _ in instances]
     )
     runner = EpochRunner(
-        model.apply, tx, settings, None, None, head_inputs=head_inputs
+        model.apply, tx, settings, None, None, head_inputs=head_inputs,
+        train_apply=train_apply, eval_apply=eval_apply,
     )
     vrunner = VmapEpochRunner(runner)
 
@@ -874,7 +889,7 @@ def run_fusion_seeds_vmapped(
                 }
         if verbose:
             print(
-                f"[vmap-sweep {fusion_type}] Ep {ep:03d}/{hp['epochs']} best="
+                f"[vmap-sweep {kind}:{variant}] Ep {ep:03d}/{hp['epochs']} best="
                 f"{np.array2string(np.asarray([s.best for s in stoppers]), precision=1)}"
             )
         if all(st.stop for st in stoppers):

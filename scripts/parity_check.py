@@ -56,6 +56,11 @@ CONFIGS = {
     "multimodal_gcl_drw10_cagrad": dict(dataset="fog", modality="multimodal",
                                         wm="gcl", sync=False, alpha=0.1,
                                         cos=True, drw=10),
+    # LDAM margin loss (classification_losses.py:54-76; CUDA-only in the
+    # reference, runs on CPU via the FloatTensor alias)
+    "multimodal_ldam_cagrad": dict(dataset="fog", modality="multimodal",
+                                   wm="ldam", sync=False, alpha=0.1,
+                                   cos=False, drw=0),
     # FBG dataset dims (101x51 pose + GRF trimmed to 65x3, configs.py:2-16)
     "fbg_multimodal_gcl_cagrad": dict(dataset="fbg", modality="multimodal",
                                       wm="gcl", sync=False, alpha=0.1,

@@ -166,3 +166,32 @@ def test_vmap_cv_early_stop_equivalence(monkeypatch):
         np.testing.assert_allclose(
             vm["masks"][mk], seq["masks"][mk], atol=2e-2, err_msg=mk
         )
+
+
+@pytest.mark.parametrize(
+    "kind,synced",
+    [("focal", True), ("taca", False), ("deepav", True)],
+    ids=["focal_sync", "taca_async", "deepav_sync"],
+)
+def test_sota_seeds_vmap_matches_sequential(kind, synced):
+    """The vmapped (seed x fold) sweep reproduces the sequential SOTA
+    baseline drivers too (adamw + clip, summed CE, dropout rng threading,
+    TACA's epoch-frac schedule)."""
+    from gaitpd.train.baseline_drivers import BaselineArgs
+    from gaitpd.train.baseline_drivers import main as seq_main
+    from gaitpd.train.vmap_cv import run_baseline_seeds_vmapped
+
+    seeds = [0, 1]
+    vm = run_baseline_seeds_vmapped(
+        "fog", kind, kind, seeds, synced=synced, epochs=3, n_folds_cap=2,
+        synthetic=True,
+    )
+    for seed in seeds:
+        seq = seq_main(BaselineArgs(
+            kind=kind, dataset="fog", synced=synced, seed=seed, epochs=3,
+            n_folds_cap=2, synthetic=True, verbose=False,
+        ))
+        for key in ("skel", "sensor", "avg"):
+            np.testing.assert_allclose(
+                vm[seed][key], seq[key], atol=2e-2, err_msg=f"{kind}:{seed}:{key}"
+            )
