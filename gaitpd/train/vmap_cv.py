@@ -234,9 +234,9 @@ def aggregate_folds(metrics) -> Dict[str, np.ndarray]:
 def run_cv_vmapped(args):
     """Drop-in replacement for weargait_driver.run_cv that trains all folds
     at once. Same summary dict; per-fold RNG streams match the sequential
-    driver whenever fold batch counts agree. Restrictions: the flagship
-    3-stream model only (no --baseline/--single_mod) and no checkpointing
-    (the sequential path remains the full-featured one)."""
+    driver whenever fold batch counts agree. Checkpoint/resume persists ONE
+    stacked snapshot covering every fold (--ckpt_dir/--resume). Restriction:
+    the flagship 3-stream model only (no --baseline/--single_mod)."""
     from gaitpd.learning.mtl import make_method
     from gaitpd.train.cv import build_subj2label, make_fixed_balanced_folds_no_overlap
     from gaitpd.train.optim import sgd_torch
@@ -250,8 +250,6 @@ def run_cv_vmapped(args):
 
     if args.baseline is not None or args.single_mod is not None:
         raise ValueError("vmapped CV supports the flagship 3-stream model only")
-    if args.ckpt_dir:
-        raise ValueError("vmapped CV does not checkpoint; use the sequential path")
 
     async_mode = args.async_loading
     sync_flag = not async_mode
@@ -328,6 +326,27 @@ def run_cv_vmapped(args):
     best_params_host = jax.device_get(states.params)
     best_per_mod = np.zeros((f, 3))
 
+    start_epoch = 1
+    if args.ckpt_dir and args.resume:
+        restored = restore_vmap_checkpoint(
+            args.ckpt_dir, states, best_params_host
+        )
+        if restored is not None:
+            st_host, best_params_host, best_per_mod, meta = restored
+            states = vrunner.shard_folds(jax.device_put(st_host))
+            for st, b, ni in zip(stoppers, meta["best"], meta["no_improve"]):
+                st.best = float(b)
+                st.no_improve = int(ni)
+            start_epoch = meta["epoch"] + 1
+            # fast-forward the host/device RNG streams so a resumed run sees
+            # the same per-fold epoch orders/keys as an uninterrupted one
+            for _ in range(1, start_epoch):
+                for r, pl in zip(host_rngs, stacked.train_pools):
+                    r.permutation(len(pl))
+                for i in range(f):
+                    keys[i], _, _ = jax.random.split(keys[i], 3)
+            print(f"[vmap-cv] resumed from epoch {start_epoch}")
+
     # eval index batches are fixed across epochs
     eval_idx, eval_valid = stack_index_batches(
         stacked.eval_pools,
@@ -335,7 +354,7 @@ def run_cv_vmapped(args):
         args.batch_size,
     )
 
-    for ep in range(1, args.epochs + 1):
+    for ep in range(start_epoch, args.epochs + 1):
         states = states.replace(
             epoch=jnp.full((f,), ep - 1, jnp.int32)
         )
@@ -382,6 +401,11 @@ def run_cv_vmapped(args):
                     best_params_host = jax.tree_util.tree_map(
                         lambda b, new: _set_row(b, new, i), best_params_host, ph
                     )
+        if args.ckpt_dir:
+            save_vmap_checkpoint(
+                args.ckpt_dir, states, stoppers, best_params_host,
+                best_per_mod, ep,
+            )
         if args.verbose:
             live = sum(not st.stop for st in stoppers)
             print(
@@ -442,6 +466,59 @@ def _set_row(best_leaf, new_leaf, i):
     out = np.asarray(best_leaf).copy()
     out[i] = np.asarray(new_leaf)[i]
     return out
+
+
+# ---------------------------------------------------------------------------
+# Stacked checkpoint / resume (all folds in one snapshot)
+# ---------------------------------------------------------------------------
+
+
+def save_vmap_checkpoint(root, states, stoppers, best_params_host,
+                         best_per_mod, epoch: int):
+    """One orbax snapshot holds every fold: the stacked TrainState, the
+    per-fold early-stop counters and the per-fold best-params stack."""
+    import json
+    from pathlib import Path
+
+    import orbax.checkpoint as ocp
+
+    path = Path(root) / "vmap" / "latest"
+    path.parent.mkdir(parents=True, exist_ok=True)
+    payload = {
+        "state": jax.device_get(states),
+        "best_params": best_params_host,
+        "best_per_mod": np.asarray(best_per_mod),
+    }
+    ocp.PyTreeCheckpointer().save(path.resolve(), payload, force=True)
+    meta = {
+        "epoch": int(epoch),
+        "best": [float(s.best) for s in stoppers],
+        "no_improve": [int(s.no_improve) for s in stoppers],
+    }
+    (path.parent / "latest.json").write_text(json.dumps(meta))
+
+
+def restore_vmap_checkpoint(root, states_template, best_params_template):
+    """Returns (states, best_params_host, best_per_mod, meta) or None."""
+    import json
+    from pathlib import Path
+
+    import orbax.checkpoint as ocp
+
+    path = Path(root) / "vmap" / "latest"
+    meta_path = path.parent / "latest.json"
+    if not path.exists() or not meta_path.exists():
+        return None
+    template = {
+        "state": jax.device_get(states_template),
+        "best_params": best_params_template,
+        "best_per_mod": np.zeros(
+            (len(json.loads(meta_path.read_text())["best"]), 3)
+        ),
+    }
+    payload = ocp.PyTreeCheckpointer().restore(path.resolve(), item=template)
+    meta = json.loads(meta_path.read_text())
+    return payload["state"], payload["best_params"], payload["best_per_mod"], meta
 
 
 # ---------------------------------------------------------------------------

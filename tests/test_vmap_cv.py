@@ -74,8 +74,6 @@ def test_vmap_cv_rejects_unsupported_modes():
         run_cv_vmapped(WearGaitArgs(baseline="focal", synthetic=True))
     with pytest.raises(ValueError):
         run_cv_vmapped(WearGaitArgs(single_mod="imu", synthetic=True))
-    with pytest.raises(ValueError):
-        run_cv_vmapped(WearGaitArgs(ckpt_dir="/tmp/x", synthetic=True))
 
 
 @pytest.mark.parametrize(
@@ -195,3 +193,25 @@ def test_sota_seeds_vmap_matches_sequential(kind, synced):
             np.testing.assert_allclose(
                 vm[seed][key], seq[key], atol=2e-2, err_msg=f"{kind}:{seed}:{key}"
             )
+
+
+def test_vmap_cv_checkpoint_resume(tmp_path):
+    """A killed-and-resumed vmapped run reproduces the uninterrupted run
+    exactly: one stacked orbax snapshot covers every fold, and resume
+    fast-forwards the per-fold host orders and jax key chains."""
+    kw = dict(n_folds=2, test_per_class=3, patience=50, wm="gcl", alpha=0.5,
+              seed=9, synthetic=True, verbose=False)
+    full = run_cv_vmapped(WearGaitArgs(epochs=5, **kw))
+    # "crash" after 3 epochs, then resume to 5
+    run_cv_vmapped(WearGaitArgs(epochs=3, ckpt_dir=str(tmp_path), **kw))
+    resumed = run_cv_vmapped(
+        WearGaitArgs(epochs=5, ckpt_dir=str(tmp_path), resume=True, **kw)
+    )
+    np.testing.assert_allclose(resumed["macro"][0], full["macro"][0], atol=1e-4)
+    np.testing.assert_allclose(
+        resumed["per_fold_macro"], full["per_fold_macro"], atol=1e-4
+    )
+    for mk in full["masks"]:
+        np.testing.assert_allclose(
+            resumed["masks"][mk], full["masks"][mk], atol=1e-4, err_msg=mk
+        )
