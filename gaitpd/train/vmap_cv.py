@@ -243,13 +243,15 @@ def run_cv_vmapped(args):
     from gaitpd.train.step import StepSettings, make_loss_ctx
     from gaitpd.train.weargait_driver import (
         MASK_COMBOS,
+        _baseline_adapters,
         build_model,
         get_streams,
         split_to_device,
     )
 
-    if args.baseline is not None or args.single_mod is not None:
-        raise ValueError("vmapped CV supports the flagship 3-stream model only")
+    if args.single_mod is not None:
+        raise ValueError("vmapped CV does not cover --single_mod; use the "
+                         "sequential path")
 
     async_mode = args.async_loading
     sync_flag = not async_mode
@@ -290,16 +292,23 @@ def run_cv_vmapped(args):
 
     model = build_model(args, sync_flag)
     tx = sgd_torch(args.lr, 0.9, 1e-4)
+    # CAGrad only for the flagship model (reference weargait_train.py:146-152)
+    use_cagrad = args.baseline is None and args.alpha > 0
     mtl = None
-    if args.alpha > 0:
+    if use_cagrad:
         kwargs = (
             {"c": args.alpha}
             if args.mtl_method in ("cagrad", "log_cagrad")
             else {}
         )
         mtl = make_method(args.mtl_method, 3, **kwargs)
+    if args.baseline in ("deepav_lite", "taca"):
+        import dataclasses as _dc
 
-    sample_xs = tuple(np.asarray(x[0, :2]) for x in stacked.xs)
+        settings = _dc.replace(settings, dropout=True)
+    train_apply, eval_apply, sample_tf = _baseline_adapters(model, args)
+
+    sample_xs = sample_tf(tuple(np.asarray(x[0, :2]) for x in stacked.xs))
     states, partition = init_stacked_state(
         model, tx, mtl, sample_xs, [args.seed] * f
     )
@@ -310,7 +319,10 @@ def run_cv_vmapped(args):
             "devices; running single-device"
         )
         mesh = None
-    runner = EpochRunner(model.apply, tx, settings, mtl, partition)
+    runner = EpochRunner(
+        model.apply, tx, settings, mtl, partition,
+        train_apply=train_apply, eval_apply=eval_apply,
+    )
     vrunner = VmapEpochRunner(runner, mesh=mesh)
     states = vrunner.shard_folds(states)
     stacked_dev = vrunner.shard_folds(

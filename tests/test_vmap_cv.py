@@ -71,8 +71,6 @@ def test_vmap_cv_fold_sharded_mesh():
 
 def test_vmap_cv_rejects_unsupported_modes():
     with pytest.raises(ValueError):
-        run_cv_vmapped(WearGaitArgs(baseline="focal", synthetic=True))
-    with pytest.raises(ValueError):
         run_cv_vmapped(WearGaitArgs(single_mod="imu", synthetic=True))
 
 
@@ -214,4 +212,24 @@ def test_vmap_cv_checkpoint_resume(tmp_path):
     for mk in full["masks"]:
         np.testing.assert_allclose(
             resumed["masks"][mk], full["masks"][mk], atol=1e-4, err_msg=mk
+        )
+
+
+@pytest.mark.parametrize("baseline", ["cheap_xattn", "taca"])
+def test_vmap_cv_weargait_baselines_match_sequential(monkeypatch, baseline):
+    """--vmap_folds covers the WearGait baseline models too (fusion family +
+    the adapter-carrying TACA with its epoch-frac schedule and dropout)."""
+    fixed = fixed_length_streams(n_per_class=8, seed=13)
+    monkeypatch.setattr(wd, "get_streams", lambda args: fixed)
+
+    kw = dict(
+        n_folds=2, test_per_class=3, epochs=3, patience=50, wm="class_wt",
+        alpha=0.5, seed=4, synthetic=True, verbose=False, baseline=baseline,
+    )
+    seq = run_cv(WearGaitArgs(**kw))
+    vm = run_cv_vmapped(WearGaitArgs(**kw))
+    np.testing.assert_allclose(vm["macro"][0], seq["macro"][0], atol=2e-2)
+    for mk in seq["masks"]:
+        np.testing.assert_allclose(
+            vm["masks"][mk], seq["masks"][mk], atol=2e-2, err_msg=mk
         )
