@@ -1,5 +1,5 @@
 #!/usr/bin/env bash
-# Fast CPU test runner: skip the axon TPU registration handshake (the
+# CPU test runner (~18 min, 189 tests): skip the axon TPU registration handshake (the
 # sitecustomize hook registers a tunneled TPU backend that costs ~2min of
 # startup wall-clock) and run on an 8-virtual-device CPU mesh.
 set -e
