@@ -170,7 +170,11 @@ def _vmap_seeds_sweep(ns, out_root: Path, variants) -> dict:
                              synced=ns.synchronized_loading, epochs=ns.epochs,
                              n_folds_cap=ns.n_folds_cap, vmap_seeds=True),
                 "result": results[seed],
-                "runtime_s": dt,
+                # the whole batch trains in ONE vmapped program, so the
+                # honest per-seed share is dt/n; the batch total is kept
+                # under its own name for wall-clock accounting
+                "runtime_s": round(dt / max(1, len(pending)), 3),
+                "runtime_s_batch": dt,
             }
             (out_root / name).write_text(json.dumps(payload, indent=2,
                                                     default=str))

@@ -235,8 +235,9 @@ def run_cv_vmapped(args):
     """Drop-in replacement for weargait_driver.run_cv that trains all folds
     at once. Same summary dict; per-fold RNG streams match the sequential
     driver whenever fold batch counts agree. Checkpoint/resume persists ONE
-    stacked snapshot covering every fold (--ckpt_dir/--resume). Restriction:
-    the flagship 3-stream model only (no --baseline/--single_mod)."""
+    stacked snapshot covering every fold (--ckpt_dir/--resume). Covers the
+    flagship 3-stream model and every --baseline (fusion family,
+    deepav_lite, focal, taca via _baseline_adapters)."""
     from gaitpd.learning.mtl import make_method
     from gaitpd.train.cv import build_subj2label, make_fixed_balanced_folds_no_overlap
     from gaitpd.train.optim import sgd_torch
@@ -500,6 +501,13 @@ def save_vmap_checkpoint(root, states, stoppers, best_params_host,
         "state": jax.device_get(states),
         "best_params": best_params_host,
         "best_per_mod": np.asarray(best_per_mod),
+        # the epoch/stopper meta lives INSIDE the snapshot so a kill can
+        # never pair a new-epoch state with a stale meta file (the old
+        # two-file write had that window); latest.json stays as a
+        # human-readable mirror only
+        "epoch": np.asarray(epoch, np.int32),
+        "best": np.asarray([s.best for s in stoppers], np.float64),
+        "no_improve": np.asarray([s.no_improve for s in stoppers], np.int32),
     }
     ocp.PyTreeCheckpointer().save(path.resolve(), payload, force=True)
     meta = {
@@ -507,29 +515,39 @@ def save_vmap_checkpoint(root, states, stoppers, best_params_host,
         "best": [float(s.best) for s in stoppers],
         "no_improve": [int(s.no_improve) for s in stoppers],
     }
-    (path.parent / "latest.json").write_text(json.dumps(meta))
+    tmp = path.parent / "latest.json.tmp"
+    tmp.write_text(json.dumps(meta))
+    tmp.rename(path.parent / "latest.json")
 
 
 def restore_vmap_checkpoint(root, states_template, best_params_template):
     """Returns (states, best_params_host, best_per_mod, meta) or None."""
-    import json
     from pathlib import Path
 
     import orbax.checkpoint as ocp
 
     path = Path(root) / "vmap" / "latest"
-    meta_path = path.parent / "latest.json"
-    if not path.exists() or not meta_path.exists():
+    if not path.exists():
         return None
+    n_folds = int(
+        jax.tree_util.tree_leaves(best_params_template)[0].shape[0]
+    )
     template = {
         "state": jax.device_get(states_template),
         "best_params": best_params_template,
-        "best_per_mod": np.zeros(
-            (len(json.loads(meta_path.read_text())["best"]), 3)
-        ),
+        "best_per_mod": np.zeros((n_folds, 3)),
+        "epoch": np.zeros((), np.int32),
+        "best": np.zeros((n_folds,), np.float64),
+        "no_improve": np.zeros((n_folds,), np.int32),
     }
     payload = ocp.PyTreeCheckpointer().restore(path.resolve(), item=template)
-    meta = json.loads(meta_path.read_text())
+    # meta comes from the snapshot itself, never from latest.json (which is
+    # only a human-readable mirror and could lag behind after a kill)
+    meta = {
+        "epoch": int(payload["epoch"]),
+        "best": [float(b) for b in payload["best"]],
+        "no_improve": [int(n) for n in payload["no_improve"]],
+    }
     return payload["state"], payload["best_params"], payload["best_per_mod"], meta
 
 
