@@ -29,6 +29,7 @@ in tests/test_vmap_cv.py.
 from __future__ import annotations
 
 import dataclasses
+from pathlib import Path
 from typing import Dict, List, Optional, Tuple
 
 import jax
@@ -251,8 +252,7 @@ def run_cv_vmapped(args):
     )
 
     if args.single_mod is not None:
-        raise ValueError("vmapped CV does not cover --single_mod; use the "
-                         "sequential path")
+        return _weargait_single_mod_vmapped(args)
 
     async_mode = args.async_loading
     sync_flag = not async_mode
@@ -342,10 +342,13 @@ def run_cv_vmapped(args):
     start_epoch = 1
     if args.ckpt_dir and args.resume:
         restored = restore_vmap_checkpoint(
-            args.ckpt_dir, states, best_params_host
+            args.ckpt_dir, states,
+            {"best_params": best_params_host, "best_per_mod": best_per_mod},
         )
         if restored is not None:
-            st_host, best_params_host, best_per_mod, meta = restored
+            st_host, extras, meta = restored
+            best_params_host = extras["best_params"]
+            best_per_mod = extras["best_per_mod"]
             states = vrunner.shard_folds(jax.device_put(st_host))
             for st, b, ni in zip(stoppers, meta["best"], meta["no_improve"]):
                 st.best = float(b)
@@ -416,8 +419,10 @@ def run_cv_vmapped(args):
                     )
         if args.ckpt_dir:
             save_vmap_checkpoint(
-                args.ckpt_dir, states, stoppers, best_params_host,
-                best_per_mod, ep,
+                args.ckpt_dir, states, stoppers,
+                {"best_params": best_params_host,
+                 "best_per_mod": np.asarray(best_per_mod)},
+                ep,
             )
         if args.verbose:
             live = sum(not st.stop for st in stoppers)
@@ -475,6 +480,178 @@ def run_cv_vmapped(args):
     }
 
 
+def _weargait_single_mod_vmapped(args):
+    """Vmapped analogue of weargait_driver.run_single_mod_fold (reference
+    weargait_train.py:250-297, 579-588): the chosen stream runs through the
+    shared backbone + its head via forward_single, all folds stacked on a
+    vmap axis. Per-fold RNG streams match the sequential sub-driver, so the
+    per-fold best accuracies reproduce it exactly (tests/test_vmap_cv.py).
+    Checkpoint/resume uses the same stacked snapshot as the 3-stream path."""
+    from gaitpd.models.multitask import WearGaitThreeModal
+    from gaitpd.train.cv import build_subj2label, make_fixed_balanced_folds_no_overlap
+    from gaitpd.train.optim import sgd_torch
+    from gaitpd.train.step import StepSettings, make_loss_ctx
+    from gaitpd.train.weargait_driver import (
+        MODALITIES,
+        build_model,
+        get_streams,
+        split_to_device,
+    )
+
+    async_mode = args.async_loading
+    mod_idx = MODALITIES.index(args.single_mod)
+    streams, pd_ids, hc_ids = get_streams(args)
+    subj2label = build_subj2label(pd_ids, hc_ids)
+    folds = make_fixed_balanced_folds_no_overlap(
+        pd_ids, hc_ids, n_folds=args.n_folds, per_class=args.test_per_class,
+        seed=args.seed,
+    )
+    if args.n_folds_cap:
+        folds = folds[: args.n_folds_cap]
+    f = len(folds)
+
+    splits = [
+        WG.prepare_split(streams, tr, te, subj2label, win=args.win_len,
+                         hop=args.hop_len)
+        for tr, te in folds
+    ]
+    datas3 = [split_to_device(s, async_mode, args.seed) for s in splits]
+    datas = [
+        DeviceFoldData(
+            xs=(d.xs[mod_idx],), ys=(d.ys[mod_idx],),
+            train_pool=d.train_pool[:, mod_idx: mod_idx + 1],
+            eval_pool=d.eval_pool[:, mod_idx: mod_idx + 1],
+            eval_xs=(d.exs[mod_idx],), eval_ys=(d.eys[mod_idx],),
+        )
+        for d in datas3
+    ]
+    stacked = stack_folds(datas)
+
+    counts_per_fold = [
+        [np.bincount(np.asarray(d.ys[0])[d.train_pool[:, 0]],
+                     minlength=args.num_classes)]
+        for d in datas
+    ]
+    settings = StepSettings(
+        n_streams=1, wm=args.wm, synchronized=False,
+        gcl_m=args.gcl_m, gcl_s=args.gcl_s, noise_mul=args.noise_mul,
+        drw_warmup=args.drw_warmup,
+    )
+    ctx = stack_ctx([make_loss_ctx(settings, c) for c in counts_per_fold])
+
+    model = build_model(args, not async_mode)
+    apply_single = lambda v, x: model.apply(  # noqa: E731
+        v, x, args.single_mod, method=WearGaitThreeModal.forward_single
+    )
+    tx = sgd_torch(args.lr, 0.9, 1e-4)
+    # init needs all 3 streams (the full model's params are built, only the
+    # chosen branch runs forward) — same as the sequential sub-driver
+    sample_xs = tuple(np.asarray(x[0, :2]) for x in
+                      stack_folds(datas3).xs)
+    states, _ = init_stacked_state(model, tx, None, sample_xs, [args.seed] * f)
+    mesh = args.mesh
+    if mesh is not None and f % mesh.devices.size != 0:
+        print(
+            f"[vmap-cv] {f} folds not divisible by {mesh.devices.size} "
+            "devices; running single-device"
+        )
+        mesh = None
+    runner = EpochRunner(apply_single, tx, settings, None, None)
+    vrunner = VmapEpochRunner(runner, mesh=mesh)
+    states = vrunner.shard_folds(states)
+    dev = vrunner.shard_folds(
+        {"xs": stacked.xs, "ys": stacked.ys, "exs": stacked.eval_xs,
+         "eys": stacked.eval_ys}
+    )
+
+    host_rngs = [np.random.default_rng(args.seed + 1000 * fi)
+                 for fi in range(1, f + 1)]
+    keys = [jax.random.PRNGKey(args.seed + fi) for fi in range(1, f + 1)]
+    stoppers = [EarlyStopper(patience=args.patience) for _ in range(f)]
+
+    start_epoch = 1
+    if args.ckpt_dir and args.resume:
+        restored = restore_vmap_checkpoint(args.ckpt_dir, states, {})
+        if restored is not None:
+            st_host, _extras, meta = restored
+            states = vrunner.shard_folds(jax.device_put(st_host))
+            for st, bb, ni in zip(stoppers, meta["best"], meta["no_improve"]):
+                st.best = float(bb)
+                st.no_improve = int(ni)
+            start_epoch = meta["epoch"] + 1
+            for _ in range(1, start_epoch):
+                for r, d in zip(host_rngs, datas):
+                    r.permutation(len(d.train_pool))
+                for i in range(f):
+                    keys[i], _, _ = jax.random.split(keys[i], 3)
+            print(f"[vmap-cv] resumed from epoch {start_epoch}")
+
+    eval_idx, eval_valid = stack_index_batches(
+        stacked.eval_pools,
+        [np.arange(len(p)) for p in stacked.eval_pools],
+        args.batch_size,
+    )
+
+    for ep in range(start_epoch, args.epochs + 1):
+        states = states.replace(epoch=jnp.full((f,), ep - 1, jnp.int32))
+        train_pools = stacked.train_pools
+        if async_mode:
+            train_pools = [
+                WG.async_pool(s.train, np.random.default_rng(args.seed + ep))
+                [:, mod_idx: mod_idx + 1]
+                for s in splits
+            ]
+        orders = [r.permutation(len(p)) for r, p in zip(host_rngs, train_pools)]
+        idx, valid = stack_index_batches(train_pools, orders, args.batch_size)
+        k_trs, k_evs = [], []
+        for i in range(f):
+            keys[i], k_tr, k_ev = jax.random.split(keys[i], 3)
+            k_trs.append(k_tr)
+            k_evs.append(k_ev)
+        states, _metrics = vrunner.train_epoch(
+            states, dev["xs"], dev["ys"], idx, valid,
+            stack_epoch_rngs(k_trs, idx.shape[1]), ctx,
+        )
+        outs = vrunner.eval_epoch(
+            states.params, dev["exs"], dev["eys"], eval_idx, eval_valid,
+            stack_epoch_rngs(k_evs, eval_idx.shape[1]), ctx,
+            jnp.asarray(ep - 1, jnp.int32), jnp.ones((1,), bool),
+        )
+        ev = aggregate_folds(outs)
+        vas = ev["acc_batchmean"][:, 0]
+        for st, v in zip(stoppers, vas):
+            if not st.stop:
+                st.update(float(v))
+        if args.ckpt_dir:
+            save_vmap_checkpoint(args.ckpt_dir, states, stoppers, {}, ep)
+        if args.verbose:
+            print(
+                f"[vmap-cv] Ep {ep:03d} | {args.single_mod} val="
+                f"{np.array2string(np.asarray(vas), precision=1)} "
+                f"best={np.array2string(np.asarray([s.best for s in stoppers]), precision=1)}"
+            )
+        if all(st.stop for st in stoppers):
+            print(f"[vmap-cv] all folds early-stopped at epoch {ep}")
+            break
+
+    fold_macro = [st.best for st in stoppers]
+    per_mod = {
+        m: (float(np.mean(fold_macro)) if m == args.single_mod else 0.0)
+        for m in MODALITIES
+    }
+    print("\n=== Summary (vmapped CV, single_mod) ===")
+    print(
+        f"Macro acc mean ± std: {np.mean(fold_macro):.2f}% ± "
+        f"{np.std(fold_macro):.2f}%"
+    )
+    return {
+        "macro": (float(np.mean(fold_macro)), float(np.std(fold_macro))),
+        "per_fold_macro": [float(x) for x in fold_macro],
+        "per_mod": per_mod,
+        "masks": {},
+    }
+
+
 def _set_row(best_leaf, new_leaf, i):
     out = np.asarray(best_leaf).copy()
     out[i] = np.asarray(new_leaf)[i]
@@ -486,10 +663,11 @@ def _set_row(best_leaf, new_leaf, i):
 # ---------------------------------------------------------------------------
 
 
-def save_vmap_checkpoint(root, states, stoppers, best_params_host,
-                         best_per_mod, epoch: int):
+def save_vmap_checkpoint(root, states, stoppers, extras: dict, epoch: int):
     """One orbax snapshot holds every fold: the stacked TrainState, the
-    per-fold early-stop counters and the per-fold best-params stack."""
+    per-fold early-stop counters and any driver-specific `extras` arrays
+    (the weargait path stores the stacked best params; the fbg_fog path the
+    best collected predictions)."""
     import json
     from pathlib import Path
 
@@ -499,8 +677,7 @@ def save_vmap_checkpoint(root, states, stoppers, best_params_host,
     path.parent.mkdir(parents=True, exist_ok=True)
     payload = {
         "state": jax.device_get(states),
-        "best_params": best_params_host,
-        "best_per_mod": np.asarray(best_per_mod),
+        "extras": extras,
         # the epoch/stopper meta lives INSIDE the snapshot so a kill can
         # never pair a new-epoch state with a stale meta file (the old
         # two-file write had that window); latest.json stays as a
@@ -520,8 +697,8 @@ def save_vmap_checkpoint(root, states, stoppers, best_params_host,
     tmp.rename(path.parent / "latest.json")
 
 
-def restore_vmap_checkpoint(root, states_template, best_params_template):
-    """Returns (states, best_params_host, best_per_mod, meta) or None."""
+def restore_vmap_checkpoint(root, states_template, extras_template: dict):
+    """Returns (states, extras, meta) or None."""
     from pathlib import Path
 
     import orbax.checkpoint as ocp
@@ -530,12 +707,11 @@ def restore_vmap_checkpoint(root, states_template, best_params_template):
     if not path.exists():
         return None
     n_folds = int(
-        jax.tree_util.tree_leaves(best_params_template)[0].shape[0]
+        jax.tree_util.tree_leaves(jax.device_get(states_template))[0].shape[0]
     )
     template = {
         "state": jax.device_get(states_template),
-        "best_params": best_params_template,
-        "best_per_mod": np.zeros((n_folds, 3)),
+        "extras": extras_template,
         "epoch": np.zeros((), np.int32),
         "best": np.zeros((n_folds,), np.float64),
         "no_improve": np.zeros((n_folds,), np.int32),
@@ -548,7 +724,7 @@ def restore_vmap_checkpoint(root, states_template, best_params_template):
         "best": [float(b) for b in payload["best"]],
         "no_improve": [int(n) for n in payload["no_improve"]],
     }
-    return payload["state"], payload["best_params"], payload["best_per_mod"], meta
+    return payload["state"], payload["extras"], meta
 
 
 # ---------------------------------------------------------------------------
@@ -561,7 +737,8 @@ def run_fbg_fog_vmapped(args):
     class-stratified folds of each modality simultaneously (reference
     sequential loop: fbg_fog_train.py:410-436). Same summary dict; per-fold
     RNG streams match the sequential driver whenever fold batch counts
-    agree. Checkpointing stays on the sequential path."""
+    agree. Checkpoint/resume persists one stacked snapshot per modality
+    under --ckpt_dir/<modality> (--resume restores it)."""
     import dataclasses as _dc
 
     from gaitpd.config import FBG_FOG_DIMS, FBG_FOG_TRAIN, normalize_dataset_name
@@ -571,9 +748,6 @@ def run_fbg_fog_vmapped(args):
         fog_label_dict,
         generate_class_stratified_folds,
     )
-
-    if args.ckpt_dir:
-        raise ValueError("vmapped CV does not checkpoint; use the sequential path")
 
     dataset = normalize_dataset_name(args.dataset)
     reader = get_reader(args)
@@ -592,7 +766,8 @@ def run_fbg_fog_vmapped(args):
 
     summary = {}
     for mod in modes:
-        margs = _dc.replace(args, modality=mod)
+        ck = str(Path(args.ckpt_dir) / mod) if args.ckpt_dir else None
+        margs = _dc.replace(args, modality=mod, ckpt_dir=ck)
         print(f"\n>>> MODE: {mod.upper()} (vmapped folds) <<<")
         results = _fbg_fog_folds_vmapped(reader, folds, margs)
         arr = np.asarray(results)
@@ -689,7 +864,6 @@ def _fbg_fog_folds_vmapped(reader, folds, args):
                  for fi in range(1, f + 1)]
     keys = [jax.random.PRNGKey(args.seed + fi) for fi in range(1, f + 1)]
     stoppers = [EarlyStopper(patience=tp.patience) for _ in range(f)]
-    best_payload = [None] * f
 
     eval_orders = [np.arange(len(p)) for p in stacked.eval_pools]
     eval_idx, eval_valid = stack_index_batches(
@@ -704,8 +878,42 @@ def _fbg_fog_folds_vmapped(reader, folds, args):
         )
         eval_vmasks.append(np.concatenate([vaf, pad], 0).reshape(-1) > 0)
 
+    # best collected predictions as FIXED-SHAPE per-fold stacks (so they can
+    # live in the stacked checkpoint); ragged extraction happens once at the
+    # end under eval_vmasks
+    n_b, b_sz = eval_idx.shape[1], eval_idx.shape[2]
+    best_preds = np.zeros((f, n_b, n_streams, b_sz), np.int32)
+    best_pred_ens = np.zeros((f, n_b, b_sz), np.int32)
+    has_best = np.zeros((f,), np.int32)
+
+    start_ep = 0
+    if args.ckpt_dir and args.resume:
+        restored = restore_vmap_checkpoint(
+            args.ckpt_dir, states,
+            {"best_preds": best_preds, "best_pred_ens": best_pred_ens,
+             "has_best": has_best},
+        )
+        if restored is not None:
+            st_host, extras, meta = restored
+            best_preds = np.asarray(extras["best_preds"])
+            best_pred_ens = np.asarray(extras["best_pred_ens"])
+            has_best = np.asarray(extras["has_best"])
+            states = vrunner.shard_folds(jax.device_put(st_host))
+            for st, bb, ni in zip(stoppers, meta["best"], meta["no_improve"]):
+                st.best = float(bb)
+                st.no_improve = int(ni)
+            start_ep = meta["epoch"]
+            # fast-forward the host/device RNG streams so a resumed run sees
+            # the same per-fold epoch orders/keys as an uninterrupted one
+            for _ in range(start_ep):
+                for r, p in zip(host_rngs, stacked.train_pools):
+                    r.permutation(len(p))
+                for i in range(f):
+                    keys[i], _, _ = jax.random.split(keys[i], 3)
+            print(f"[vmap-cv] resumed from epoch {start_ep + 1}")
+
     mask = jnp.ones((n_streams,), bool)
-    for ep in range(0, epochs):
+    for ep in range(start_ep, epochs):
         states = states.replace(epoch=jnp.full((f,), ep, jnp.int32))
         orders = [r.permutation(len(p)) for r, p in
                   zip(host_rngs, stacked.train_pools)]
@@ -744,24 +952,16 @@ def _fbg_fog_folds_vmapped(reader, folds, args):
             for i, imp in enumerate(improved):
                 if not imp:
                     continue
-                vm = eval_vmasks[i]
-                pool = stacked.eval_pools[i]
-                ixf, _ = batch_index_matrix(np.arange(len(pool)), batch_size)
-                n_flat = ixf.shape[0] * ixf.shape[1]
-                flat_pool = np.zeros((len(vm), pool.shape[1]), pool.dtype)
-                flat_pool[:n_flat] = pool[ixf.reshape(-1)]
-                rows = flat_pool[vm]
-                best_payload[i] = {
-                    "preds": [
-                        preds[i, :, k, :].reshape(-1)[vm]
-                        for k in range(n_streams)
-                    ],
-                    "trues": [
-                        np.asarray(stacked.eval_ys[src][i])[rows[:, src]]
-                        for src in range(n_streams)
-                    ],
-                    "preds_ens": preds_ens[i].reshape(-1)[vm],
-                }
+                best_preds[i] = preds[i]
+                best_pred_ens[i] = preds_ens[i]
+                has_best[i] = 1
+        if args.ckpt_dir:
+            save_vmap_checkpoint(
+                args.ckpt_dir, states, stoppers,
+                {"best_preds": best_preds, "best_pred_ens": best_pred_ens,
+                 "has_best": has_best},
+                ep + 1,
+            )
         if args.verbose:
             print(
                 f"[vmap-cv] Ep {ep + 1:03d}/{epochs} | avg="
@@ -774,7 +974,26 @@ def _fbg_fog_folds_vmapped(reader, folds, args):
 
     results = []
     for i in range(f):
-        p = best_payload[i]
+        p = None
+        if has_best[i]:
+            vm = eval_vmasks[i]
+            pool = stacked.eval_pools[i]
+            ixf, _ = batch_index_matrix(np.arange(len(pool)), batch_size)
+            n_flat = ixf.shape[0] * ixf.shape[1]
+            flat_pool = np.zeros((len(vm), pool.shape[1]), pool.dtype)
+            flat_pool[:n_flat] = pool[ixf.reshape(-1)]
+            rows = flat_pool[vm]
+            p = {
+                "preds": [
+                    best_preds[i, :, k, :].reshape(-1)[vm]
+                    for k in range(n_streams)
+                ],
+                "trues": [
+                    np.asarray(stacked.eval_ys[src][i])[rows[:, src]]
+                    for src in range(n_streams)
+                ],
+                "preds_ens": best_pred_ens[i].reshape(-1)[vm],
+            }
         if p is None:
             results.append((0.0, 0.0, 0.0))
             continue

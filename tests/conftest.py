@@ -18,6 +18,20 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+import sys  # noqa: E402
+
+if "jax" in sys.modules:
+    # When PALLAS_AXON_POOL_IPS is set in the ambient env, sitecustomize has
+    # ALREADY imported jax (axon.register registers the PJRT plugin at
+    # interpreter startup), so jax captured JAX_PLATFORMS=axon before the
+    # env overrides above — tests then silently run on the TPU (bf16 drift,
+    # minutes-long remote compiles). Backends are still uninitialized at
+    # conftest time, so flipping the jax config directly wins.
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_platform_name", "cpu")
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

@@ -376,3 +376,232 @@ def test_loss_based_methods_ignore_clip():
         assert not make_method(name, K).clips, name
     for name in ["pcgrad", "graddrop", "cagrad", "fairgrad"]:
         assert make_method(name, K).clips, name
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r3: NashMTL step sequence + the log_* variants (previously only
+# smoke-covered by test_every_mtl_method_one_step)
+# ---------------------------------------------------------------------------
+
+
+def quad_setups():
+    """Quadratic variant of the fake model: l_k = (J_k·w + a_k q_k + off_k +
+    extra_k)².  Unlike the linear setup, the shared grads 2·base_k·J_k vary
+    with `extra`, so a per-step extra sequence exercises gram-matrix CHANGE —
+    needed to pin NashMTL's update_weights_every caching."""
+    w = torch.zeros(P, requires_grad=True)
+    qs = [torch.zeros((), requires_grad=True) for _ in range(K)]
+    jj = torch.from_numpy(J)
+
+    def t_losses(extra):
+        return torch.stack(
+            [
+                (jj[k] @ w + float(A[k]) * qs[k] + float(OFF[k])
+                 + float(extra[k])) ** 2
+                for k in range(K)
+            ]
+        )
+
+    def t_zero():
+        for t in [w] + qs:
+            t.grad = None
+
+    params = {
+        "params": {
+            "shared": {"w": jnp.zeros((P,), jnp.float32)},
+            "t0": {"q": jnp.zeros((), jnp.float32)},
+            "t1": {"q": jnp.zeros((), jnp.float32)},
+            "t2": {"q": jnp.zeros((), jnp.float32)},
+        }
+    }
+    jjx, aa, off = jnp.asarray(J), jnp.asarray(A), jnp.asarray(OFF)
+
+    def j_loss_fn(p, extra):
+        ws = p["params"]["shared"]["w"]
+        qsx = jnp.stack([p["params"][f"t{k}"]["q"] for k in range(K)])
+        base = jjx @ ws + aa * qsx + off + extra
+        return base**2, None
+
+    partition = build_flat_partition(
+        params, ["shared"], [["t0"], ["t1"], ["t2"]]
+    )
+    return (w, qs, t_losses, t_zero), (params, j_loss_fn, partition)
+
+
+def test_nashmtl_golden_sequence():
+    """NashMTL (reference :150-300): alpha solves (GGᵀ/||GGᵀ||)·α = 1/α — the
+    cvxpy/ECOS sequence's own stop criterion (:177) — recomputed only every
+    `update_weights_every` steps (:268-295), cached alpha reused in between
+    while the gram matrix keeps changing. 4-step sequence against an in-test
+    torch + scipy.fsolve oracle of the reference semantics (cvxpy is not
+    installed here; fsolve solves the same first-order condition tighter
+    than ECOS's 1e-3 stop)."""
+    from scipy.optimize import fsolve
+
+    every, n_steps = 2, 4
+    extras = [
+        0.6 * np.sin(np.arange(K, dtype=np.float32) * 0.9 + 1.3 * t) + 0.5
+        for t in range(n_steps)
+    ]
+
+    # --- reference-style torch implementation --------------------------------
+    (w, qs, t_losses, t_zero), (params, j_loss_fn, partition) = quad_setups()
+    prvs_alpha = np.ones(K, np.float64)
+    step = 0
+    ref_gw, ref_gq, ref_alpha = [], [], []
+    for t in range(n_steps):
+        t_zero()
+        ls = t_losses(extras[t])
+        if step % every == 0:
+            grads_t = [
+                torch.autograd.grad(ls[k], w, retain_graph=True)[0]
+                for k in range(K)
+            ]
+            G = torch.stack(grads_t)
+            GTG = (G @ G.t()).detach().numpy().astype(np.float64)
+            gtg_n = GTG / np.linalg.norm(GTG)
+            prvs_alpha = fsolve(
+                lambda a: gtg_n @ a - 1.0 / a, prvs_alpha, full_output=False
+            )
+        step += 1
+        tw = torch.from_numpy(prvs_alpha.astype(np.float32))
+        sum(ls[i] * tw[i] for i in range(K)).backward()
+        ref_gw.append(w.grad.numpy().copy())
+        ref_gq.append([q.grad.numpy().copy() for q in qs])
+        ref_alpha.append(prvs_alpha.astype(np.float32).copy())
+
+    # --- gaitpd state-threaded sequence --------------------------------------
+    method = make_method("nashmtl", K, update_weights_every=every)
+    state = method.init_state()
+    for t in range(n_steps):
+        grads, _, _, state, info = mtl_grads(
+            method, j_loss_fn, params, partition, state,
+            jax.random.PRNGKey(t), jnp.asarray(extras[t]),
+        )
+        np.testing.assert_allclose(
+            np.asarray(info["weights"]), ref_alpha[t], rtol=2e-3,
+            err_msg=f"step {t}",
+        )
+        np.testing.assert_allclose(
+            np.asarray(grads["params"]["shared"]["w"]), ref_gw[t], rtol=2e-3,
+            atol=1e-5, err_msg=f"step {t}",
+        )
+        for k in range(K):
+            np.testing.assert_allclose(
+                np.asarray(grads["params"][f"t{k}"]["q"]), ref_gq[t][k],
+                rtol=2e-3, atol=1e-5, err_msg=f"step {t} q{k}",
+            )
+    # alpha was cached on odd steps (gram changed, weights did not)
+    np.testing.assert_allclose(ref_alpha[0], ref_alpha[1])
+    assert not np.allclose(ref_alpha[1], ref_alpha[2])
+
+
+def test_log_mgda_golden():
+    """LOG_MGDA (reference :430-512): min-norm solution over grads of
+    log-losses; weighted loss Σ sol_k·log(l_k)/c with c = Σ sol_i/l_i
+    (:510-511) — backward hits shared AND private params. Conditioned on the
+    same min-norm solution (the solver itself is pinned against scipy in
+    test_mtl.py)."""
+    from gaitpd.learning.minnorm import min_norm_element
+
+    w, qs, losses, zero = torch_setup()
+    ls = losses()
+    grads_t = [
+        torch.autograd.grad((ls[k] + 1e-8).log(), w, retain_graph=True)[0]
+        for k in range(K)
+    ]
+    G = torch.stack(grads_t)
+    gram_log = (G @ G.t()).detach().numpy()
+    sol = np.asarray(min_norm_element(jnp.asarray(gram_log)))
+    c = sum(float(sol[i]) / (ls[i].detach() + 1e-8) for i in range(K))
+    zero()
+    sum((ls[i] + 1e-8).log() * float(sol[i]) / c for i in range(K)).backward()
+
+    params, loss_fn, partition = jax_setup()
+    grads, _, _, _, info = mtl_grads(
+        make_method("log_mgda", K), loss_fn, params, partition, {},
+        jax.random.PRNGKey(0),
+    )
+    np.testing.assert_allclose(np.asarray(info["weights"]), sol, rtol=1e-4)
+    assert_grads_match(grads, w, qs, rtol=1e-4)
+
+
+def test_log_cagrad_golden():
+    """LOG_CAGrad (reference :975-1098): shared grads overwritten with the
+    CAGrad combination of per-task LOG-loss grads, ×K (:1012,:1071), then
+    clipped to max_norm=1 on the shared params only (:1096-1097). Private
+    params keep the plain accumulation of the log-loss backwards — the
+    reference's per-task .backward() loop only zeroes the SHARED grads
+    (:1004-1010). Conditioned on the same QP weights (cagrad_weights is
+    pinned against scipy SLSQP in test_mtl.py)."""
+    from gaitpd.learning.minnorm import cagrad_weights
+
+    alpha_c = 0.4
+    w, qs, losses, zero = torch_setup()
+    ls = losses()
+    grads_t = [
+        torch.autograd.grad(ls[k].log(), w, retain_graph=True)[0]
+        for k in range(K)
+    ]
+    G = torch.stack(grads_t)  # (K, P) — reference stores (P, K); same math
+    GG = (G @ G.t()).detach()
+    g0_norm = float((GG.mean() + 1e-8).sqrt())
+    c = alpha_c * g0_norm + 1e-8
+    ww = torch.from_numpy(
+        np.asarray(cagrad_weights(jnp.asarray(GG.numpy()), c))
+    )
+    gw = (G * ww[:, None]).sum(0)
+    lmbda = c / (float(gw.norm()) + 1e-8)
+    g = (G.mean(0) + lmbda * gw) / (1 + alpha_c**2)
+    w.grad = (g * K).detach().clone()
+    torch.nn.utils.clip_grad_norm_([w], 1.0)
+    # private: accumulated backward of log-losses -> (1/l_k)·a_k
+    zero_w = w.grad.numpy().copy()
+    for k in range(K):
+        qs[k].grad = (float(A[k]) / ls[k].detach()).clone()
+
+    params, loss_fn, partition = jax_setup()
+    grads, _, _, _, _ = mtl_grads(
+        make_method("log_cagrad", K, c=alpha_c), loss_fn, params, partition,
+        {}, jax.random.PRNGKey(0),
+    )
+    np.testing.assert_allclose(
+        np.asarray(grads["params"]["shared"]["w"]), zero_w, rtol=1e-4,
+        atol=1e-6,
+    )
+    for k in range(K):
+        np.testing.assert_allclose(
+            np.asarray(grads["params"][f"t{k}"]["q"]), qs[k].grad.numpy(),
+            rtol=1e-4, atol=1e-6,
+        )
+
+
+def test_log_imtl_golden():
+    """LOG_IMTLG (reference :1192-1266): the closed-form impartial alpha
+    computed from LOG-loss grads; loss = Σ alpha_k·log(l_k + eps) applied to
+    the whole graph (shared AND private)."""
+    w, qs, losses, zero = torch_setup()
+    ls = losses()
+    grads_t, norm_t = [], []
+    for k in range(K):
+        (g,) = torch.autograd.grad((ls[k] + 1e-8).log(), w, retain_graph=True)
+        grads_t.append(g)
+        norm_t.append(g / torch.norm(g))
+    G = torch.stack(grads_t)
+    D = G[0] - G[1:]
+    U = torch.stack(norm_t)
+    U = U[0] - U[1:]
+    alpha_ = (G[0] @ U.t()) @ torch.inverse(D @ U.t())
+    alpha = torch.cat(((1 - alpha_.sum()).unsqueeze(-1), alpha_))
+    zero()
+    sum((ls[i] + 1e-8).log() * alpha.detach()[i] for i in range(K)).backward()
+
+    params, loss_fn, partition = jax_setup()
+    grads, _, _, _, info = mtl_grads(
+        make_method("log_imtl", K), loss_fn, params, partition, {},
+        jax.random.PRNGKey(0),
+    )
+    np.testing.assert_allclose(
+        np.asarray(info["weights"]), alpha.detach().numpy(), rtol=1e-4
+    )
+    assert_grads_match(grads, w, qs, rtol=1e-4)

@@ -69,9 +69,49 @@ def test_vmap_cv_fold_sharded_mesh():
     assert np.isfinite(res["macro"][0])
 
 
-def test_vmap_cv_rejects_unsupported_modes():
-    with pytest.raises(ValueError):
-        run_cv_vmapped(WearGaitArgs(single_mod="imu", synthetic=True))
+@pytest.mark.parametrize("async_mode", [False, True])
+def test_vmap_cv_single_mod_matches_sequential(monkeypatch, async_mode):
+    """--single_mod under --vmap_folds reproduces the sequential
+    single-modality sub-driver (forward_single through the shared backbone,
+    same per-fold host orders / key chains / per-epoch async pools)."""
+    fixed = fixed_length_streams(n_per_class=8, seed=5)
+    monkeypatch.setattr(wd, "get_streams", lambda args: fixed)
+
+    kw = dict(
+        n_folds=2, test_per_class=3, epochs=3, patience=50, wm="gcl",
+        seed=6, synthetic=True, verbose=False, single_mod="imu",
+        async_loading=async_mode,
+    )
+    seq = run_cv(WearGaitArgs(**kw))
+    vm = run_cv_vmapped(WearGaitArgs(**kw))
+    np.testing.assert_allclose(vm["macro"][0], seq["macro"][0], atol=2e-2)
+    np.testing.assert_allclose(
+        vm["per_mod"]["imu"], seq["per_mod"]["imu"], atol=2e-2
+    )
+    assert vm["per_mod"]["walkway"] == 0.0 and vm["per_mod"]["insole"] == 0.0
+
+
+def test_fbg_fog_vmap_checkpoint_resume(tmp_path):
+    """The fbg_fog vmapped path checkpoints too: a killed-and-resumed run
+    reproduces the uninterrupted one, including the best-epoch collected
+    predictions (stored as fixed-shape stacks inside the snapshot)."""
+    from gaitpd.train.fbg_fog_driver import FbgFogArgs
+    from gaitpd.train.vmap_cv import run_fbg_fog_vmapped
+
+    kw = dict(dataset="fog", modality="multimodal", wm="gcl",
+              use_norm_and_cos=True, alpha=0.1, synthetic=True, seed=5,
+              verbose=False)
+    full = run_fbg_fog_vmapped(FbgFogArgs(epochs=4, **kw))
+    # "crash" after 2 epochs, then resume to 4
+    run_fbg_fog_vmapped(FbgFogArgs(epochs=2, ckpt_dir=str(tmp_path), **kw))
+    resumed = run_fbg_fog_vmapped(
+        FbgFogArgs(epochs=4, ckpt_dir=str(tmp_path), resume=True, **kw)
+    )
+    for key in ("skel", "sensor", "avg"):
+        np.testing.assert_allclose(
+            resumed["multimodal"][key], full["multimodal"][key], atol=1e-4,
+            err_msg=key,
+        )
 
 
 @pytest.mark.parametrize(
