@@ -175,10 +175,57 @@ class StreamingSession:
     def poll(self) -> Optional[Dict[str, np.ndarray]]:
         """Classify all complete windows available across the streaming
         modalities (aligned to the slowest one). None if nothing ready."""
-        ready = {m: b.ready for m, b in self.buffers.items()}
-        n = min(ready.values()) if ready else 0
+        n = self.n_ready()
         if n == 0:
             return None
-        windows = {m: self.buffers[m].pop(n) for m in self.buffers}
+        windows = self.pop_windows(n)
         probs = self.engine.predict_windows(windows)
         return {"window_probs": probs, "pred": probs.argmax(1)}
+
+    def n_ready(self) -> int:
+        """Complete windows available across all modalities (min over the
+        per-modality ring buffers — aligned to the slowest stream)."""
+        ready = [b.ready for b in self.buffers.values()]
+        return min(ready) if ready else 0
+
+    def pop_windows(self, n: int) -> Dict[str, np.ndarray]:
+        """Pop n aligned windows per modality out of the ring buffers."""
+        return {m: self.buffers[m].pop(n) for m in self.buffers}
+
+
+def poll_sessions(
+    sessions: Sequence[StreamingSession],
+) -> list:
+    """Throughput-mode serving: drain the ready windows of MANY concurrent
+    sessions and classify them in ONE batched predict per modality-subset
+    group, instead of one dispatch per session.
+
+    At batch-1 the TPU dispatch (and, in this container, the ~30 ms relay
+    round-trip) dominates; batching across sessions amortizes it so the chip
+    sees one large matmul-friendly batch. Sessions with different modality
+    subsets (relaxed input) are grouped so each compiled mask pattern gets
+    one call; results are scattered back per session.
+
+    Returns a list aligned with `sessions`: {"window_probs", "pred"} for
+    sessions that had complete windows, None for the rest."""
+    results: list = [None] * len(sessions)
+    groups: Dict[tuple, list] = {}
+    for idx, s in enumerate(sessions):
+        n = s.n_ready()
+        if n == 0:
+            continue
+        key = tuple(sorted(s.buffers))
+        groups.setdefault(key, []).append((idx, n, s.pop_windows(n)))
+    for key, members in groups.items():
+        batch = {
+            m: np.concatenate([w[m] for _, _, w in members], axis=0)
+            for m in key
+        }
+        engine = sessions[members[0][0]].engine
+        probs = engine.predict_windows(batch)
+        off = 0
+        for idx, n, _ in members:
+            p = probs[off:off + n]
+            off += n
+            results[idx] = {"window_probs": p, "pred": p.argmax(1)}
+    return results

@@ -179,8 +179,17 @@ def main():
     p.add_argument("--out", default="parity_baselines_report.json")
     ns = p.parse_args()
 
+    # Merge into an existing report (same epochs/strength) so configs can be
+    # (re)run incrementally without losing committed rows.
     report = {"epochs": ns.epochs, "strength": ns.strength, "seeds": ns.seeds,
               "paired_folds": True}
+    out_path = Path(ns.out)
+    if out_path.exists():
+        prev = json.loads(out_path.read_text())
+        if (prev.get("epochs") == ns.epochs
+                and prev.get("strength") == ns.strength):
+            prev.update({k: v for k, v in report.items()})
+            report = prev
     for config in ns.configs:
         ours_list, ref_list = [], []
         for seed in ns.seeds:

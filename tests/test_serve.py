@@ -83,3 +83,44 @@ def test_streaming_session(engine):
     # imu is the slower stream: 130 frames -> 2 windows of 64
     assert out["window_probs"].shape == (2, 2)
     assert sess.poll() is None  # drained
+
+
+def test_poll_sessions_batched_matches_per_session(engine):
+    """poll_sessions (throughput mode: one batched predict across N
+    sessions, grouped by modality subset) returns the same probabilities as
+    polling each session individually."""
+    try:
+        from gaitpd.serve import StreamingSession, poll_sessions
+        mk = lambda mods: StreamingSession(engine, modalities=mods)  # noqa: E731
+        sessions = [
+            mk(("insole", "imu")), mk(("imu",)), mk(("insole", "imu")),
+            mk(("walkway", "insole", "imu")), mk(("imu",)),
+        ]
+    except Exception as e:
+        pytest.skip(f"native build unavailable: {e}")
+    rng = np.random.default_rng(4)
+    pushes = {}  # session idx -> modality -> frames (kept to replay)
+    frames_per = [200, 64, 130, 70, 0]  # session 4 stays empty -> None
+    for i, (sess, n) in enumerate(zip(sessions, frames_per)):
+        pushes[i] = {}
+        for m in sess.buffers:
+            x = rng.normal(size=(n, {"walkway": 2, "insole": 13, "imu": 24}[m]))
+            pushes[i][m] = x
+            if n:
+                sess.push(m, x)
+    batched = poll_sessions(sessions)
+    # replay the same frames into fresh sessions and poll individually
+    for i, sess in enumerate(sessions):
+        ref_sess = StreamingSession(engine, modalities=tuple(sess.buffers))
+        for m, x in pushes[i].items():
+            if x.shape[0]:
+                ref_sess.push(m, x)
+        ref = ref_sess.poll()
+        if ref is None:
+            assert batched[i] is None
+        else:
+            np.testing.assert_allclose(
+                batched[i]["window_probs"], ref["window_probs"], rtol=1e-5,
+                err_msg=f"session {i}",
+            )
+            np.testing.assert_array_equal(batched[i]["pred"], ref["pred"])
