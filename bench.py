@@ -6,12 +6,22 @@ embedded under "extra" so a single-line parser still sees everything):
   1. weargait_cagrad_train_step  — full training step (fwd + 3 cotangent
      bwd + in-graph CAGrad QP + SGD) trained windows/sec/chip, vs a
      reference-style torch-CPU CAGrad step (3x backward + scipy SLSQP).
-  2. weargait_dp8_epoch_scan     — data-parallel epoch scan over an 8-device
+  2. weargait_foldvmap_train_step — the vmapped-CV hot loop: 10 independent
+     fold states trained by ONE compiled step (effective batch 10 x B);
+     vs_baseline = throughput ratio over the single-fold B=32768 knee
+     (VERDICT r2 item 4: fold-axis utilization on the real chip).
+  3. weargait_dp8_epoch_scan     — data-parallel epoch scan over an 8-device
      virtual CPU mesh (subprocess), correctness-checked against the
      single-device scan; vs_baseline = sharded/single throughput ratio.
-  3. weargait_preproc_fwd_throughput (HEADLINE) — fused z-score + window +
-     3-stream forward windows/sec/chip vs a torch-CPU pipeline
-     (BASELINE.md north star: >=10x windows/sec/chip over CPU).
+  4. weargait_preproc_fwd_throughput — fused z-score + window + 3-stream
+     forward windows/sec/chip vs a torch-CPU pipeline (the former headline;
+     demoted to extra because the tunnel's session-level jitter rides on a
+     preproc-bound metric, VERDICT r2 item 5).
+  5. weargait_train_pipeline (HEADLINE) — ONE jit covering the whole
+     training iteration: z-score -> window -> CAGrad train step, trained
+     windows/sec/chip end-to-end, vs the same pipeline on torch CPU
+     (numpy preproc + 3x backward + scipy SLSQP). Compute-bound, so the
+     run-to-run spread is reported and small (<10% within a session).
 """
 
 from __future__ import annotations
@@ -319,7 +329,222 @@ def bench_train_step_torch_cpu(batch_size: int = 256) -> float:
 
 
 # ---------------------------------------------------------------------------
-# 2. DP epoch scan over an 8-device virtual CPU mesh (subprocess)
+# 5. HEADLINE: fused preproc -> train pipeline (one jit)
+# ---------------------------------------------------------------------------
+
+PIPE_SUBJECTS = 512
+PIPE_T = 4096  # x 512 subjects -> 32768 windows/step (the train-step knee)
+
+
+def bench_train_pipeline_jax():
+    """One jitted function covering the full training iteration on raw
+    streams: per-modality z-score -> window (hop==win reshape) -> the CAGrad
+    train step of bench_train_step_jax. Returns (windows/s, preproc_share,
+    spread_pct): preproc_share from a separately-jitted preproc-only timing,
+    spread_pct = (max-min)/median over the timed blocks."""
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_default_matmul_precision", "highest")
+
+    from gaitpd.data.pipeline import window_stream, zscore
+    from gaitpd.learning.mtl import make_method
+    from gaitpd.models.multitask import WearGaitThreeModal
+    from gaitpd.train.loop import init_train_state
+    from gaitpd.train.optim import sgd_torch
+    from gaitpd.train.step import (
+        StepSettings,
+        make_apply_adapters,
+        make_loss_ctx,
+        make_train_step,
+    )
+
+    s, t = PIPE_SUBJECTS, PIPE_T
+    wins_per_subj = t // HOP
+    b = s * wins_per_subj
+    rng = np.random.default_rng(0)
+    raw = {
+        m: jnp.asarray(rng.normal(size=(s, t, c)), jnp.float32)
+        for m, c in CHANNELS.items()
+    }
+    stats = {
+        m: (jnp.zeros(c, jnp.float32), jnp.ones(c, jnp.float32))
+        for m, c in CHANNELS.items()
+    }
+    # per-subject task labels, broadcast to window level inside the jit
+    ys_subj = tuple(
+        jnp.asarray(rng.integers(0, 2, size=s), jnp.int32) for _ in range(3)
+    )
+
+    def preproc(x, mean, std):
+        z = zscore(x, mean, std)
+        wins = jax.vmap(lambda st_: window_stream(st_, WIN, HOP))(z)
+        return wins.reshape(-1, WIN, x.shape[-1])
+
+    model = WearGaitThreeModal(synchronized=True)
+    settings = StepSettings(
+        n_streams=3, wm="gcl", synchronized=True, private_grads="sum_plus_own"
+    )
+    ctx = make_loss_ctx(settings, [(5, 3)] * 3)
+    tx = sgd_torch(1e-3)
+    mtl = make_method("cagrad", 3, c=0.5)
+    sample = tuple(
+        preproc(raw[m][:2], *stats[m]) for m in CHANNELS
+    )
+    state, partition = init_train_state(model, tx, mtl, sample)
+    train_apply, _ = make_apply_adapters(model.apply, settings)
+    train_step = make_train_step(train_apply, tx, settings, mtl, partition)
+
+    @jax.jit
+    def preproc_only(raw):
+        return tuple(preproc(raw[m], *stats[m]) for m in CHANNELS)
+
+    @jax.jit
+    def pipeline_step(state, raw, ys_subj, key):
+        xs = tuple(preproc(raw[m], *stats[m]) for m in CHANNELS)
+        ys = tuple(jnp.repeat(y, wins_per_subj) for y in ys_subj)
+        batch = {"xs": xs, "ys": ys, "valid": jnp.ones((b,), jnp.float32)}
+        return train_step(state, batch, key, ctx)
+
+    key = jax.random.PRNGKey(0)
+    state, metrics = pipeline_step(state, raw, ys_subj, key)  # compile
+    jax.block_until_ready(metrics["losses"])
+    tputs = []
+    for blk in range(3):
+        t0 = time.perf_counter()
+        for i in range(TRAIN_ITERS):
+            state, metrics = pipeline_step(
+                state, raw, ys_subj, jax.random.fold_in(key, blk * 100 + i)
+            )
+        jax.block_until_ready(metrics["losses"])
+        tputs.append(b * TRAIN_ITERS / (time.perf_counter() - t0))
+    tputs = sorted(tputs)
+    spread_pct = 100.0 * (tputs[-1] - tputs[0]) / tputs[1]
+
+    # preproc share: time the preproc subgraph alone
+    out = preproc_only(raw)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(TRAIN_ITERS):
+        out = preproc_only(raw)
+    jax.block_until_ready(out)
+    preproc_s = (time.perf_counter() - t0) / TRAIN_ITERS
+    step_s = b / tputs[-1]
+    return tputs[-1], preproc_s / step_s, spread_pct
+
+
+def bench_train_pipeline_torch_cpu(n_subjects: int = 4, t_frames: int = PIPE_T):
+    """The same full training iteration on torch CPU: numpy z-score +
+    windowing feeding the reference-style CAGrad step (3x backward + scipy
+    SLSQP; see bench_train_step_torch_cpu)."""
+    import torch
+    from scipy.optimize import minimize
+
+    torch.set_num_threads(1)
+    wins_per_subj = t_frames // WIN
+    b = n_subjects * wins_per_subj
+    net = _torch_net()
+    opt = torch.optim.SGD(net.parameters(), lr=1e-3, momentum=0.9)
+    ce = torch.nn.CrossEntropyLoss()
+    rng = np.random.default_rng(0)
+    raw = {
+        m: rng.normal(size=(n_subjects, t_frames, c)).astype(np.float32)
+        for m, c in CHANNELS.items()
+    }
+    ys_subj = rng.integers(0, 2, size=n_subjects)
+    shared = [p for p in net.bb.parameters()] + [p for p in net.head.parameters()]
+    c_cagrad = 0.5
+
+    def one_iter():
+        xs = {}
+        for m, c in CHANNELS.items():
+            x = raw[m]
+            mean = x.reshape(-1, c).mean(0)
+            std = x.reshape(-1, c).std(0) + 1e-6
+            z = (x - mean) / std
+            xs[m] = torch.from_numpy(
+                z.reshape(n_subjects, wins_per_subj, WIN, c).reshape(-1, WIN, c)
+            )
+        ys = torch.from_numpy(np.repeat(ys_subj, wins_per_subj).astype(np.int64))
+        opt.zero_grad()
+        logits = net(xs)
+        losses = [ce(l, ys) for l in logits]
+        grads = []
+        for l in losses:
+            g = torch.autograd.grad(l, shared, retain_graph=True)
+            grads.append(torch.cat([x.reshape(-1) for x in g]))
+        G = torch.stack(grads)
+        GG = (G @ G.t()).cpu().numpy()
+        cc = c_cagrad * float(np.sqrt(GG.mean()) + 1e-8)
+
+        def obj(w):
+            w = w / (w.sum() + 1e-8)
+            return float(w @ GG @ np.ones(3) / 3 + cc * np.sqrt(w @ GG @ w + 1e-8))
+
+        res = minimize(
+            obj, np.ones(3) / 3, bounds=[(0, 1)] * 3,
+            constraints={"type": "eq", "fun": lambda w: w.sum() - 1},
+            method="SLSQP",
+        )
+        w = torch.from_numpy(res.x.astype(np.float32))
+        gw = (w[:, None] * G).sum(0)
+        lam = cc / (float(torch.norm(gw)) + 1e-8)
+        gfin = (G.mean(0) + lam * gw) / (1 + c_cagrad**2)
+        sum(losses).backward()
+        i0 = 0
+        for p in shared:
+            n = p.numel()
+            p.grad = gfin[i0: i0 + n].reshape(p.shape).clone()
+            i0 += n
+        torch.nn.utils.clip_grad_norm_(shared, 1.0)
+        opt.step()
+
+    one_iter()  # warmup
+    t0 = time.perf_counter()
+    reps = 3
+    for _ in range(reps):
+        one_iter()
+    return b * reps / (time.perf_counter() - t0)
+
+
+# ---------------------------------------------------------------------------
+# 2. fold-vmapped train step (the vmapped-CV hot loop) on the real chip
+# ---------------------------------------------------------------------------
+
+# measured ladder on v5e-1 (scripts/bench_step.py --folds 10, f32 HIGHEST):
+# F=10 x B=2048 -> 353k, x4096 -> 518k, x8192 -> 517k trained windows/s —
+# the fold axis reaches the single-fold B=32768 bandwidth knee (517k) at 8x
+# smaller per-fold batch; single-fold B=4096 alone reaches only ~304k.
+FOLDVMAP_FOLDS = 10
+FOLDVMAP_BATCH = 4096  # per fold -> 40960 windows/step (the fold-vmap knee)
+
+
+def bench_train_step_foldvmap() -> float:
+    import jax
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                    "scripts"))
+    from bench_step import build_step_foldvmap
+
+    step, state, batch, ctx, keys = build_step_foldvmap(
+        FOLDVMAP_FOLDS, FOLDVMAP_BATCH
+    )
+    fold_in = jax.vmap(jax.random.fold_in, in_axes=(0, None))
+    state, metrics = step(state, batch, keys, ctx)
+    jax.block_until_ready(metrics["losses"])  # compile
+    best = 0.0
+    n = FOLDVMAP_FOLDS * FOLDVMAP_BATCH
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for i in range(TRAIN_ITERS):
+            state, metrics = step(state, batch, fold_in(keys, i), ctx)
+        jax.block_until_ready(metrics["losses"])
+        best = max(best, n * TRAIN_ITERS / (time.perf_counter() - t0))
+    return best
+
+
+# ---------------------------------------------------------------------------
+# 3. DP epoch scan over an 8-device virtual CPU mesh (subprocess)
 # ---------------------------------------------------------------------------
 
 
@@ -442,7 +667,29 @@ def main():
     )
     print(json.dumps(extra[-1]), flush=True)
 
-    # 2. DP-8 virtual mesh correctness + throughput
+    # 2. fold-vmapped train step (vmapped-CV hot loop): vs_baseline = the
+    # single-fold step at the SAME per-fold batch (what sequential CV would
+    # run); vs_knee = the single-fold B=32768 bandwidth ceiling
+    try:
+        fv_tput = bench_train_step_foldvmap()
+        single_same_b = bench_train_step_jax(FOLDVMAP_BATCH)
+        extra.append(
+            {
+                "metric": "weargait_foldvmap_train_step",
+                "value": round(fv_tput, 1),
+                "unit": "trained windows/sec/chip",
+                "vs_baseline": round(fv_tput / single_same_b, 2),
+                "vs_knee": round(fv_tput / train_tput, 2),
+                "folds": FOLDVMAP_FOLDS,
+                "batch_per_fold": FOLDVMAP_BATCH,
+            }
+        )
+        print(json.dumps(extra[-1]), flush=True)
+    except Exception as e:  # noqa: BLE001
+        print(json.dumps({"metric": "weargait_foldvmap_train_step",
+                          "error": str(e)[:300]}))
+
+    # 3. DP-8 virtual mesh correctness + throughput
     try:
         dp8 = bench_dp8()
         extra.append(
@@ -458,16 +705,32 @@ def main():
     except Exception as e:  # noqa: BLE001 — DP check must not sink the headline
         print(json.dumps({"metric": "weargait_dp8_epoch_scan", "error": str(e)[:300]}))
 
-    # 3. HEADLINE last (single-line parsers read this one)
+    # 4. former headline: preproc+fwd (jitter-prone; kept for continuity)
     jax_tput = bench_jax(raw)
     cpu_tput = bench_torch_cpu(raw)
+    extra.append(
+        {
+            "metric": "weargait_preproc_fwd_throughput",
+            "value": round(jax_tput, 1),
+            "unit": "windows/sec/chip",
+            "vs_baseline": round(jax_tput / cpu_tput, 2),
+        }
+    )
+    print(json.dumps(extra[-1]), flush=True)
+
+    # 5. HEADLINE last (single-line parsers read this one): the full
+    # training iteration, raw streams -> trained params, in one jit
+    pipe_tput, preproc_share, spread_pct = bench_train_pipeline_jax()
+    pipe_cpu = bench_train_pipeline_torch_cpu()
     print(
         json.dumps(
             {
-                "metric": "weargait_preproc_fwd_throughput",
-                "value": round(jax_tput, 1),
-                "unit": "windows/sec/chip",
-                "vs_baseline": round(jax_tput / cpu_tput, 2),
+                "metric": "weargait_train_pipeline",
+                "value": round(pipe_tput, 1),
+                "unit": "trained windows/sec/chip (zscore+window+CAGrad step)",
+                "vs_baseline": round(pipe_tput / pipe_cpu, 2),
+                "preproc_share_pct": round(100 * preproc_share, 2),
+                "spread_pct": round(spread_pct, 2),
                 "extra": extra,
             }
         )

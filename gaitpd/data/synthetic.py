@@ -128,17 +128,29 @@ def make_weargait_streams(
     n_hc: int = 12,
     t_frames: int = 400,
     seed: int = 0,
+    tie_free: bool = False,
 ) -> Tuple[Dict[str, Dict[str, np.ndarray]], List[str], List[str]]:
     """Per-subject {walkway (T,2), insole (T,13), imu (T,24)} streams with a
     PD-vs-HC separable signal; NaNs sprinkled into insole/imu to exercise the
-    NaN guards of the pipeline (reference dataloader_weargait.py:212-227)."""
+    NaN guards of the pipeline (reference dataloader_weargait.py:212-227).
+
+    tie_free: draw PD and HC stream lengths from DISJOINT ranges (PD strictly
+    longer) so per-class train window counts can never tie in any fold with
+    equal subjects per class. The reference's GCLLoss divides by
+    m_list.max() (classification_losses.py:83-85,102), which is 0/0=NaN when
+    class counts tie exactly — tie-free data keeps the oracle finite without
+    touching its loss (VERDICT r2 item 8)."""
     rng = np.random.default_rng(seed)
     streams = {}
     pd_ids = [f"PD{i:03d}" for i in range(n_pd)]
     hc_ids = [f"HC{i:03d}" for i in range(n_hc)]
     for sid in pd_ids + hc_ids:
         label = 1 if sid.startswith("PD") else 0
-        t = t_frames + int(rng.integers(-50, 50))
+        if tie_free:
+            lo, hi = (40, 90) if label == 1 else (-90, -40)
+            t = t_frames + int(rng.integers(lo, hi))
+        else:
+            t = t_frames + int(rng.integers(-50, 50))
         sub = {
             "walkway": _signal(rng, t, 2, label, strength=0.8),
             "insole": _signal(rng, t, 13, label, strength=0.8),

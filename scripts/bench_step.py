@@ -62,6 +62,62 @@ def build_step(batch_size: int, precision: str = "highest"):
     return step, state, batch, ctx
 
 
+def build_step_foldvmap(n_folds: int, batch_size: int,
+                        precision: str = "highest"):
+    """The vmapped-CV hot loop (gaitpd/train/vmap_cv.py): F independent fold
+    states trained by ONE compiled step, fold axis stacked on top of the
+    batch axis — effective batch F x B (VERDICT r2 item 4: the free
+    utilization the single-fold knee leaves on the table)."""
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_default_matmul_precision", precision)
+
+    from gaitpd.learning.mtl import make_method
+    from gaitpd.models.multitask import WearGaitThreeModal
+    from gaitpd.train.loop import init_train_state
+    from gaitpd.train.optim import sgd_torch
+    from gaitpd.train.step import (
+        StepSettings,
+        make_apply_adapters,
+        make_loss_ctx,
+        make_train_step,
+    )
+
+    f, b, t = n_folds, batch_size, 64
+    rng = np.random.default_rng(0)
+    xs = tuple(
+        jnp.asarray(rng.normal(size=(f, b, t, c)), jnp.float32)
+        for c in (2, 13, 24)
+    )
+    ys = tuple(
+        jnp.asarray(rng.integers(0, 2, size=(f, b)), jnp.int32) for _ in range(3)
+    )
+
+    model = WearGaitThreeModal(synchronized=True)
+    settings = StepSettings(
+        n_streams=3, wm="gcl", synchronized=True, private_grads="sum_plus_own"
+    )
+    ctx = make_loss_ctx(settings, [(5, 3)] * 3)
+    tx = sgd_torch(1e-3)
+    mtl = make_method("cagrad", 3, c=0.5)
+    states, partition = [], None
+    for fold in range(f):
+        st, partition = init_train_state(
+            model, tx, mtl, tuple(x[fold, :2] for x in xs), seed=fold
+        )
+        states.append(st)
+    state = jax.tree_util.tree_map(lambda *a: jnp.stack(a), *states)
+    train_apply, _ = make_apply_adapters(model.apply, settings)
+    train_step = make_train_step(train_apply, tx, settings, mtl, partition)
+    step = jax.jit(
+        jax.vmap(train_step, in_axes=(0, 0, 0, None)), donate_argnums=(0,)
+    )
+    batch = {"xs": xs, "ys": ys, "valid": jnp.ones((f, b), jnp.float32)}
+    keys = jax.vmap(jax.random.PRNGKey)(jnp.arange(f))
+    return step, state, batch, ctx, keys
+
+
 def model_flops_per_window(t: int = 64) -> float:
     """Analytic forward FLOPs per window for WearGaitThreeModal (defaults:
     enc_out 12, insole hidden 24, backbone 16ch/k3 -> pool 8).
@@ -84,6 +140,9 @@ def main():
     ap.add_argument("--batches", default="1024,2048,4096,8192,16384")
     ap.add_argument("--iters", type=int, default=50)
     ap.add_argument("--precision", default="highest")
+    ap.add_argument("--folds", type=int, default=0,
+                    help="vmap the step over F stacked fold states "
+                         "(effective batch F x B)")
     args = ap.parse_args()
 
     import jax
@@ -91,23 +150,33 @@ def main():
     print(f"platform: {jax.devices()[0].platform} x{len(jax.devices())}")
     fpw = model_flops_per_window()
     for b in [int(x) for x in args.batches.split(",")]:
-        step, state, batch, ctx = build_step(b, args.precision)
-        key = jax.random.PRNGKey(0)
+        if args.folds:
+            step, state, batch, ctx, keys = build_step_foldvmap(
+                args.folds, b, args.precision
+            )
+            fold_in = jax.vmap(jax.random.fold_in, in_axes=(0, None))
+            windows_per_step = args.folds * b
+        else:
+            step, state, batch, ctx = build_step(b, args.precision)
+            keys = jax.random.PRNGKey(0)
+            fold_in = jax.random.fold_in
+            windows_per_step = b
         t0 = time.perf_counter()
-        state, metrics = step(state, batch, key, ctx)
+        state, metrics = step(state, batch, keys, ctx)
         jax.block_until_ready(metrics["losses"])
         compile_s = time.perf_counter() - t0
         t0 = time.perf_counter()
         for i in range(args.iters):
-            state, metrics = step(state, batch, jax.random.fold_in(key, i), ctx)
+            state, metrics = step(state, batch, fold_in(keys, i), ctx)
         jax.block_until_ready(metrics["losses"])
         dt = (time.perf_counter() - t0) / args.iters
-        tput = b / dt
+        tput = windows_per_step / dt
         mfu = tput * fpw / V5E_PEAK_FLOPS
         print(
             json.dumps(
                 {
                     "batch": b,
+                    **({"folds": args.folds} if args.folds else {}),
                     "step_ms": round(dt * 1e3, 3),
                     "trained_windows_per_s": round(tput, 1),
                     "mfu_pct_bf16peak": round(100 * mfu, 4),

@@ -173,17 +173,21 @@ def main():
     p.add_argument("--async_loading", action="store_true")
     p.add_argument("--strength", type=float, default=0.5)
     p.add_argument("--wm", default="class_wt", choices=["class_wt", "ce", "gcl"])
+    p.add_argument("--tie_free", action="store_true",
+                   help="PD/HC stream lengths from disjoint ranges so "
+                        "per-class train window counts never tie (the "
+                        "reference GCLLoss is 0/0=NaN on exact ties)")
     p.add_argument("--out", default="parity_weargait_report.json")
     ns = p.parse_args()
 
     from gaitpd.data.synthetic import make_weargait_streams
 
     report = {"epochs": ns.epochs, "async": ns.async_loading, "wm": ns.wm,
-              "seeds": {}}
+              "tie_free": ns.tie_free, "seeds": {}}
     for seed in ns.seeds:
         n = ns.n_folds * ns.per_class + 2
         streams, pd_ids, hc_ids = make_weargait_streams(
-            n_pd=n, n_hc=n, t_frames=500, seed=seed
+            n_pd=n, n_hc=n, t_frames=500, seed=seed, tie_free=ns.tie_free
         )
         print(f"=== seed {seed}: gaitpd ===", flush=True)
         ours = run_gaitpd(streams, pd_ids, hc_ids, seed, ns.epochs,
