@@ -219,10 +219,29 @@ def main():
     p.add_argument("--out", default="parity_report.json")
     ns = p.parse_args()
 
+    # merge mode: extend an existing report (same epochs/strength) with new
+    # seeds and/or configs instead of discarding committed rows — used to
+    # grow 8-seed rows to 16 for narrower CIs (VERDICT r2 item 7)
     report = {"epochs": ns.epochs, "strength": ns.strength, "seeds": ns.seeds}
+    prev = {}
+    out_path = Path(ns.out)
+    if out_path.exists():
+        old = json.loads(out_path.read_text())
+        if old.get("epochs") == ns.epochs and old.get("strength") == ns.strength:
+            prev = old
+            report = old
+            report["seeds"] = sorted(set(old.get("seeds", [])) | set(ns.seeds))
     for config in ns.configs:
         ours_list, ref_list = [], []
+        done_seeds = []
+        if config in prev:
+            done_seeds = list(prev.get("seeds_run", {}).get(
+                config, prev.get("seeds", [])))
+            ours_list = list(prev[config]["per_seed"]["gaitpd"])
+            ref_list = list(prev[config]["per_seed"]["reference"])
         for seed in ns.seeds:
+            if seed in done_seeds:
+                continue
             print(f"=== {config} seed {seed}: gaitpd ===", flush=True)
             ours = run_gaitpd(config, ns.epochs, seed, ns.strength)
             print(f"=== {config} seed {seed}: torch reference ===", flush=True)
@@ -238,6 +257,9 @@ def main():
             "stats": paired_stats(ours_list, ref_list),
             "per_seed": {"gaitpd": ours_list, "reference": ref_list},
         }
+        report.setdefault("seeds_run", {})[config] = sorted(
+            set(done_seeds) | set(ns.seeds)
+        )
         Path(ns.out).write_text(json.dumps(report, indent=2))
     print(json.dumps(report, indent=2))
     Path(ns.out).write_text(json.dumps(report, indent=2))
