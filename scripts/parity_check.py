@@ -224,21 +224,24 @@ def main():
     # grow 8-seed rows to 16 for narrower CIs (VERDICT r2 item 7)
     report = {"epochs": ns.epochs, "strength": ns.strength, "seeds": ns.seeds}
     prev = {}
+    prev_seeds = []  # snapshot BEFORE mutating report (report aliases prev)
     out_path = Path(ns.out)
     if out_path.exists():
         old = json.loads(out_path.read_text())
         if old.get("epochs") == ns.epochs and old.get("strength") == ns.strength:
             prev = old
+            prev_seeds = list(old.get("seeds", []))
             report = old
-            report["seeds"] = sorted(set(old.get("seeds", [])) | set(ns.seeds))
+            report["seeds"] = sorted(set(prev_seeds) | set(ns.seeds))
     for config in ns.configs:
         ours_list, ref_list = [], []
         done_seeds = []
         if config in prev:
-            done_seeds = list(prev.get("seeds_run", {}).get(
-                config, prev.get("seeds", [])))
+            done_seeds = list(prev.get("seeds_run", {}).get(config, prev_seeds))
             ours_list = list(prev[config]["per_seed"]["gaitpd"])
             ref_list = list(prev[config]["per_seed"]["reference"])
+            # a seed only counts as done if its result is actually present
+            done_seeds = done_seeds[: len(ours_list)]
         for seed in ns.seeds:
             if seed in done_seeds:
                 continue
