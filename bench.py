@@ -519,7 +519,13 @@ FOLDVMAP_FOLDS = 10
 FOLDVMAP_BATCH = 4096  # per fold -> 40960 windows/step (the fold-vmap knee)
 
 
-def bench_train_step_foldvmap() -> float:
+# bf16 moves the fold-vmap knee to a larger per-fold batch (measured v5e-1:
+# 10x4096 -> 529k, 10x8192 -> 713k; single-fold bf16 B=32768 is 782k)
+FOLDVMAP_BATCH_BF16 = 8192
+
+
+def bench_train_step_foldvmap(batch_per_fold: int = FOLDVMAP_BATCH,
+                              precision: str = "highest") -> float:
     import jax
 
     sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -527,13 +533,13 @@ def bench_train_step_foldvmap() -> float:
     from bench_step import build_step_foldvmap
 
     step, state, batch, ctx, keys = build_step_foldvmap(
-        FOLDVMAP_FOLDS, FOLDVMAP_BATCH
+        FOLDVMAP_FOLDS, batch_per_fold, precision
     )
     fold_in = jax.vmap(jax.random.fold_in, in_axes=(0, None))
     state, metrics = step(state, batch, keys, ctx)
     jax.block_until_ready(metrics["losses"])  # compile
     best = 0.0
-    n = FOLDVMAP_FOLDS * FOLDVMAP_BATCH
+    n = FOLDVMAP_FOLDS * batch_per_fold
     for _ in range(3):
         t0 = time.perf_counter()
         for i in range(TRAIN_ITERS):
@@ -682,6 +688,23 @@ def main():
                 "vs_knee": round(fv_tput / train_tput, 2),
                 "folds": FOLDVMAP_FOLDS,
                 "batch_per_fold": FOLDVMAP_BATCH,
+            }
+        )
+        print(json.dumps(extra[-1]), flush=True)
+        # bf16 MXU variant (the TPU-native deployment precision; f32-HIGHEST
+        # above is the torch-parity precision)
+        fv_bf16 = bench_train_step_foldvmap(FOLDVMAP_BATCH_BF16, "default")
+        import jax as _jax
+
+        _jax.config.update("jax_default_matmul_precision", "highest")
+        extra.append(
+            {
+                "metric": "weargait_foldvmap_train_step_bf16",
+                "value": round(fv_bf16, 1),
+                "unit": "trained windows/sec/chip (bf16 MXU)",
+                "vs_baseline": round(fv_bf16 / fv_tput, 2),
+                "folds": FOLDVMAP_FOLDS,
+                "batch_per_fold": FOLDVMAP_BATCH_BF16,
             }
         )
         print(json.dumps(extra[-1]), flush=True)

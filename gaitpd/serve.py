@@ -19,6 +19,7 @@ weargait_train.py:596-614). The engine:
 from __future__ import annotations
 
 import functools
+from pathlib import Path
 from typing import Dict, Optional, Sequence, Tuple
 
 import jax
@@ -81,22 +82,44 @@ class WearGaitEngine:
     def from_checkpoint(cls, ckpt_root, fold: int = 1, which: str = "best", **kw):
         """Load the fold's best parameters saved by the training driver
         (--ckpt_dir)."""
-        import json
-        from pathlib import Path
-
         import orbax.checkpoint as ocp
 
         path = Path(ckpt_root) / f"fold{fold}" / which
         payload = ocp.PyTreeCheckpointer().restore(path.resolve())
-        stats = None
+        return cls(payload["params"], cls._load_stats(ckpt_root), **kw)
+
+    @classmethod
+    def from_vmap_checkpoint(cls, ckpt_root, fold: int = 0, **kw):
+        """Load one fold's best parameters out of the STACKED snapshot the
+        vmapped CV driver writes (gaitpd/train/vmap_cv.py::save_vmap_checkpoint
+        — all folds live in <ckpt_root>/vmap/latest; the weargait path keeps
+        the per-fold best params in extras["best_params"] with the fold as
+        the leading axis). fold is 0-based."""
+        import jax as _jax
+        import orbax.checkpoint as ocp
+
+        path = Path(ckpt_root) / "vmap" / "latest"
+        payload = ocp.PyTreeCheckpointer().restore(path.resolve())
+        best = payload["extras"]["best_params"]
+        n_folds = _jax.tree_util.tree_leaves(best)[0].shape[0]
+        if not 0 <= fold < n_folds:
+            raise ValueError(f"fold {fold} out of range (snapshot has "
+                             f"{n_folds} folds, 0-based)")
+        params = _jax.tree_util.tree_map(lambda x: x[fold], best)
+        return cls(params, cls._load_stats(ckpt_root), **kw)
+
+    @staticmethod
+    def _load_stats(ckpt_root):
+        import json
+
         stats_path = Path(ckpt_root) / "stats.json"
-        if stats_path.exists():
-            raw = json.loads(stats_path.read_text())
-            stats = {
-                m: (np.asarray(v[0], np.float32), np.asarray(v[1], np.float32))
-                for m, v in raw.items()
-            }
-        return cls(payload["params"], stats, **kw)
+        if not stats_path.exists():
+            return None
+        raw = json.loads(stats_path.read_text())
+        return {
+            m: (np.asarray(v[0], np.float32), np.asarray(v[1], np.float32))
+            for m, v in raw.items()
+        }
 
     # ------------------------------------------------------------------
     def predict_windows(

@@ -85,6 +85,40 @@ def test_streaming_session(engine):
     assert sess.poll() is None  # drained
 
 
+def test_engine_from_vmap_checkpoint(tmp_path):
+    """Serving straight from the vmapped-CV stacked snapshot: each fold's
+    best params slice out of extras['best_params'] and predict like an
+    engine built from those params directly (training -> serving round-trip
+    with no sequential re-save)."""
+    from gaitpd.train.vmap_cv import run_cv_vmapped
+    from gaitpd.train.weargait_driver import WearGaitArgs
+
+    run_cv_vmapped(WearGaitArgs(
+        n_folds=2, test_per_class=2, epochs=2, patience=50, wm="gcl",
+        alpha=0.5, seed=0, synthetic=True, verbose=False,
+        ckpt_dir=str(tmp_path),
+    ))
+    rng = np.random.default_rng(5)
+    wins = {m: rng.normal(size=(3, 64, c)).astype(np.float32)
+            for m, c in CHANNELS.items()}
+    import orbax.checkpoint as ocp
+
+    stacked = ocp.PyTreeCheckpointer().restore(
+        (tmp_path / "vmap" / "latest").resolve()
+    )["extras"]["best_params"]
+    for fold in range(2):
+        eng = WearGaitEngine.from_vmap_checkpoint(tmp_path, fold=fold)
+        direct = WearGaitEngine(
+            jax.tree_util.tree_map(lambda x: x[fold], stacked)
+        )
+        np.testing.assert_allclose(
+            eng.predict_windows(wins), direct.predict_windows(wins),
+            rtol=1e-6, err_msg=f"fold {fold}",
+        )
+    with pytest.raises(ValueError):
+        WearGaitEngine.from_vmap_checkpoint(tmp_path, fold=7)
+
+
 def test_poll_sessions_batched_matches_per_session(engine):
     """poll_sessions (throughput mode: one batched predict across N
     sessions, grouped by modality subset) returns the same probabilities as
