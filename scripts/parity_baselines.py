@@ -48,6 +48,11 @@ CONFIGS = {
     "focal_async": dict(kind="focal", ft=None, sync=False),
     "deepav_sync": dict(kind="deepav", ft=None, sync=True),
     "taca_async": dict(kind="taca", ft=None, sync=False),
+    # the fbg branch of the fusion driver: batch 32, sensor pad 150 -> full
+    # 65x3 GRF, pose-&-sensor-only eval folds (fusion_train.py:22-27,99-110);
+    # async only — fbg+sync crashes in the reference (oversample_equally)
+    "fusion_early_fbg_async": dict(kind="fusion", ft="early", sync=False,
+                                   dataset="fbg"),
 }
 
 DEFAULT_CONFIGS = [
@@ -67,9 +72,11 @@ def _ref_sys_path():
             sys.path.insert(0, p)
 
 
-def _make_reader(seed: int, strength: float):
-    from gaitpd.data.synthetic import make_fog_reader
+def _make_reader(seed: int, strength: float, dataset: str = "fog"):
+    from gaitpd.data.synthetic import make_fbg_reader, make_fog_reader
 
+    if dataset == "fbg":
+        return make_fbg_reader(seed=seed, strength=strength)
     return make_fog_reader(seed=seed, strength=strength)
 
 
@@ -97,21 +104,22 @@ def run_reference(config: str, epochs: int, seed: int, strength: float):
     torch.set_num_threads(1)
 
     cfg = CONFIGS[config]
-    reader = _make_reader(seed, strength)
+    dataset = cfg.get("dataset", "fog")
+    reader = _make_reader(seed, strength, dataset)
     import types
 
     if cfg["kind"] == "fusion":
         import fusion_train as drv
 
         _patch_num_workers(drv)
-        drv.MODALITY_PARAMS["fog"]["epochs"] = epochs
+        drv.MODALITY_PARAMS[dataset]["epochs"] = epochs
         ns = types.SimpleNamespace(
-            dataset="fog", seed=seed, fusion_type=cfg["ft"],
+            dataset=dataset, seed=seed, fusion_type=cfg["ft"],
             synchronized_loading=cfg["sync"], rebuild_cache=False,
         )
         drv.args = ns  # module global consumed by create_dataloader/run_epoch
         drv.set_random_seed(seed)
-        folds = drv.generate_class_stratified_folds(reader, "fog")
+        folds = drv.generate_class_stratified_folds(reader, dataset)
         accs = []
         for i in range(1, len(folds) + 1):
             best_avg, _sk, _se = drv.train_one_fold(i, reader, folds, ns)
@@ -155,9 +163,10 @@ def run_gaitpd(config: str, epochs: int, seed: int, strength: float, folds):
     from gaitpd.train.baseline_drivers import BaselineArgs, train_fold
 
     cfg = CONFIGS[config]
-    reader = _make_reader(seed, strength)
+    dataset = cfg.get("dataset", "fog")
+    reader = _make_reader(seed, strength, dataset)
     args = BaselineArgs(
-        kind=cfg["kind"], dataset="fog", synced=cfg["sync"], wm="ce",
+        kind=cfg["kind"], dataset=dataset, synced=cfg["sync"], wm="ce",
         seed=seed, fusion_type=cfg["ft"] or "cheap_xattn", epochs=epochs,
         verbose=False, synthetic=True,
     )
