@@ -88,6 +88,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--modality_dropout", type=float, default=0.0,
                    help="train-time random modality dropout probability "
                         "(weargait; relaxed-input training)")
+    p.add_argument("--fused", action="store_true",
+                   help="weargait flagship: block-diagonal fused 3-stream "
+                        "forward (one MXU-wide conv instead of three "
+                        "lane-padded ones; same params, ~1e-5 equivalence)")
     p.add_argument("--vmap_folds", action="store_true",
                    help="weargait: train ALL CV folds simultaneously via one "
                         "vmapped epoch scan (compiles once; with "
@@ -170,6 +174,7 @@ def run_weargait(ns: argparse.Namespace, baseline: str = None):
         ckpt_dir=ns.ckpt_dir,
         resume=ns.resume,
         modality_dropout=ns.modality_dropout,
+        fused=getattr(ns, "fused", False),
         mesh=getattr(ns, "mesh", None),
     )
     if getattr(ns, "vmap_folds", False):

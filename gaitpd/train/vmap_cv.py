@@ -247,6 +247,7 @@ def run_cv_vmapped(args):
         MASK_COMBOS,
         _baseline_adapters,
         build_model,
+        flagship_apply,
         get_streams,
         split_to_device,
     )
@@ -321,7 +322,7 @@ def run_cv_vmapped(args):
         )
         mesh = None
     runner = EpochRunner(
-        model.apply, tx, settings, mtl, partition,
+        flagship_apply(model, args), tx, settings, mtl, partition,
         train_apply=train_apply, eval_apply=eval_apply,
     )
     vrunner = VmapEpochRunner(runner, mesh=mesh)

@@ -85,6 +85,7 @@ class WearGaitArgs:
     ckpt_dir: Optional[str] = None
     resume: bool = False
     modality_dropout: float = 0.0  # relaxed-input training (see step.py)
+    fused: bool = False  # block-diagonal fused forward (models/fused.py)
 
 
 def build_model(args: WearGaitArgs, sync_flag: bool):
@@ -192,6 +193,22 @@ def _baseline_adapters(model, args: WearGaitArgs):
     return None, None, (lambda xs: xs)
 
 
+def flagship_apply(model, args: "WearGaitArgs"):
+    """The forward handed to EpochRunner: `model.apply`, or — under
+    `--fused`, flagship 3-stream config only — the block-diagonal fused
+    forward (gaitpd/models/fused.py) that consumes the same parameter
+    pytree (equivalence pinned by tests/test_fused.py)."""
+    if (
+        getattr(args, "fused", False)
+        and args.baseline is None
+        and args.single_mod is None
+    ):
+        from gaitpd.models.fused import make_fused_weargait_apply
+
+        return make_fused_weargait_apply(model)
+    return model.apply
+
+
 def run_fold(
     fi: int,
     split: WG.WearGaitSplit,
@@ -239,8 +256,8 @@ def run_fold(
     sample_xs = sample_tf(tuple(x[:2] for x in data.xs))
     state, partition = init_train_state(model, tx, mtl, sample_xs, seed=args.seed)
     runner = EpochRunner(
-        model.apply, tx, settings, mtl, partition, mesh=args.mesh,
-        train_apply=train_apply, eval_apply=eval_apply,
+        flagship_apply(model, args), tx, settings, mtl, partition,
+        mesh=args.mesh, train_apply=train_apply, eval_apply=eval_apply,
     )
 
     rng = np.random.default_rng(args.seed + 1000 * fi)
