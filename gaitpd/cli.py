@@ -90,8 +90,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "(weargait; relaxed-input training)")
     p.add_argument("--fused", action="store_true",
                    help="weargait flagship: block-diagonal fused 3-stream "
-                        "forward (one MXU-wide conv instead of three "
-                        "lane-padded ones; same params, ~1e-5 equivalence)")
+                        "forward (same params, ~1e-5 equivalence; measured "
+                        "SLOWER than the stock forward on v5e — see "
+                        "gaitpd/models/fused.py)")
     p.add_argument("--vmap_folds", action="store_true",
                    help="weargait: train ALL CV folds simultaneously via one "
                         "vmapped epoch scan (compiles once; with "

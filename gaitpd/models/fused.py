@@ -28,7 +28,17 @@ parameters, no checkpoint migration; `make_fused_weargait_apply(model)`
 returns a drop-in replacement for `model.apply` (equivalence pinned by
 tests/test_fused.py to ~1e-5; the only non-bit-exact step is the kernel
 addition in (2)). Training through it is therefore the same optimization
-problem, just faster on TPU.
+problem.
+
+MEASURED RESULT (v5e-1, B=32768 CAGrad step): the fused path is ~1.6-1.8x
+SLOWER than the stock per-stream forward (f32-HIGHEST 330k vs 521k
+windows/s; bf16 432k vs 791k). The model is HBM-bandwidth-bound, and the
+fusion's input concat + stream-stack transposes add large materialized
+intermediates while the block-diagonal kernel multiplies zero blocks —
+the launch-count savings never pay for the extra traffic. Kept as a
+tested `--fused` option and as documentation of the experiment (same
+finding as the Pallas stream block: XLA's own fusion of the three small
+conv chains is already the fastest schedule at these channel widths).
 """
 
 from __future__ import annotations

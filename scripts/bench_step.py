@@ -23,7 +23,16 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 V5E_PEAK_FLOPS = 394e12  # bf16; f32 ~ 197e12
 
 
-def build_step(batch_size: int, precision: str = "highest"):
+def _apply_fn(model, fused: bool):
+    if fused:
+        from gaitpd.models.fused import make_fused_weargait_apply
+
+        return make_fused_weargait_apply(model)
+    return model.apply
+
+
+def build_step(batch_size: int, precision: str = "highest",
+               fused: bool = False, input_dtype: str = "float32"):
     import jax
     import jax.numpy as jnp
 
@@ -41,9 +50,10 @@ def build_step(batch_size: int, precision: str = "highest"):
     )
 
     b, t = batch_size, 64
+    dt = jnp.dtype(input_dtype)
     rng = np.random.default_rng(0)
     xs = tuple(
-        jnp.asarray(rng.normal(size=(b, t, c)), jnp.float32) for c in (2, 13, 24)
+        jnp.asarray(rng.normal(size=(b, t, c)), dt) for c in (2, 13, 24)
     )
     ys = tuple(jnp.asarray(rng.integers(0, 2, size=b), jnp.int32) for _ in range(3))
 
@@ -55,7 +65,7 @@ def build_step(batch_size: int, precision: str = "highest"):
     tx = sgd_torch(1e-3)
     mtl = make_method("cagrad", 3, c=0.5)
     state, partition = init_train_state(model, tx, mtl, tuple(x[:2] for x in xs))
-    train_apply, _ = make_apply_adapters(model.apply, settings)
+    train_apply, _ = make_apply_adapters(_apply_fn(model, fused), settings)
     train_step = make_train_step(train_apply, tx, settings, mtl, partition)
     step = jax.jit(train_step, donate_argnums=(0,))
     batch = {"xs": xs, "ys": ys, "valid": jnp.ones((b,), jnp.float32)}
@@ -63,7 +73,7 @@ def build_step(batch_size: int, precision: str = "highest"):
 
 
 def build_step_foldvmap(n_folds: int, batch_size: int,
-                        precision: str = "highest"):
+                        precision: str = "highest", fused: bool = False):
     """The vmapped-CV hot loop (gaitpd/train/vmap_cv.py): F independent fold
     states trained by ONE compiled step, fold axis stacked on top of the
     batch axis — effective batch F x B (VERDICT r2 item 4: the free
@@ -108,7 +118,7 @@ def build_step_foldvmap(n_folds: int, batch_size: int,
         )
         states.append(st)
     state = jax.tree_util.tree_map(lambda *a: jnp.stack(a), *states)
-    train_apply, _ = make_apply_adapters(model.apply, settings)
+    train_apply, _ = make_apply_adapters(_apply_fn(model, fused), settings)
     train_step = make_train_step(train_apply, tx, settings, mtl, partition)
     step = jax.jit(
         jax.vmap(train_step, in_axes=(0, 0, 0, None)), donate_argnums=(0,)
@@ -143,6 +153,13 @@ def main():
     ap.add_argument("--folds", type=int, default=0,
                     help="vmap the step over F stacked fold states "
                          "(effective batch F x B)")
+    ap.add_argument("--fused", action="store_true",
+                    help="use the block-diagonal fused forward "
+                         "(gaitpd/models/fused.py)")
+    ap.add_argument("--input_dtype", default="float32",
+                    help="HBM dtype of the input windows (bfloat16 halves "
+                         "the dominant bandwidth term of this tiny-channel "
+                         "model; params/optimizer state stay f32)")
     args = ap.parse_args()
 
     import jax
@@ -152,12 +169,15 @@ def main():
     for b in [int(x) for x in args.batches.split(",")]:
         if args.folds:
             step, state, batch, ctx, keys = build_step_foldvmap(
-                args.folds, b, args.precision
+                args.folds, b, args.precision, fused=args.fused
             )
             fold_in = jax.vmap(jax.random.fold_in, in_axes=(0, None))
             windows_per_step = args.folds * b
         else:
-            step, state, batch, ctx = build_step(b, args.precision)
+            step, state, batch, ctx = build_step(
+                b, args.precision, fused=args.fused,
+                input_dtype=args.input_dtype,
+            )
             keys = jax.random.PRNGKey(0)
             fold_in = jax.random.fold_in
             windows_per_step = b
