@@ -97,6 +97,17 @@ def build_parser() -> argparse.ArgumentParser:
                    help="weargait: train ALL CV folds simultaneously via one "
                         "vmapped epoch scan (compiles once; with "
                         "--data_parallel the fold axis shards over devices)")
+    p.add_argument("--vmap_hp", action="store_true",
+                   help="weargait flagship: run an (lr x gcl_m x gcl_s) "
+                        "hyperparameter grid as ONE vmapped program over "
+                        "(hp x fold) instances; prints the grid ranked by "
+                        "mean CV macro (train/hp_search.py)")
+    p.add_argument("--hp_lrs", nargs="+", type=float, default=None,
+                   help="lr values for --vmap_hp (default: just --lr)")
+    p.add_argument("--hp_gcl_ms", nargs="+", type=float, default=None,
+                   help="gcl_m values for --vmap_hp (default: just --gcl_m)")
+    p.add_argument("--hp_gcl_ss", nargs="+", type=float, default=None,
+                   help="gcl_s values for --vmap_hp (default: just --gcl_s)")
     return p
 
 
@@ -178,6 +189,15 @@ def run_weargait(ns: argparse.Namespace, baseline: str = None):
         fused=getattr(ns, "fused", False),
         mesh=getattr(ns, "mesh", None),
     )
+    if getattr(ns, "vmap_hp", False):
+        from gaitpd.train.hp_search import make_grid, run_weargait_hp_vmapped
+
+        grid = make_grid(
+            ns.hp_lrs or [args.lr],
+            ns.hp_gcl_ms or [args.gcl_m],
+            ns.hp_gcl_ss or [args.gcl_s],
+        )
+        return run_weargait_hp_vmapped(args, grid)
     if getattr(ns, "vmap_folds", False):
         from gaitpd.train.vmap_cv import run_cv_vmapped
 

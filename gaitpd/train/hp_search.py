@@ -1,0 +1,234 @@
+"""Hyperparameter search as a vmap axis: train a whole (HP x fold) grid in
+ONE compiled program.
+
+The reference tunes hyperparameters by re-running its drivers (run_all.sh
+farms (fusion_type x seed) jobs over GPUs; lr / GCL margins are retuned by
+hand-editing configs.py and relaunching). On TPU the better shape is the
+same trick the vmapped CV (vmap_cv.py) uses for folds: make the knob a
+*data axis* of one compiled training program.
+
+Two mechanisms make the knobs vmappable:
+
+* **lr** rides in the optimizer state via ``optax.inject_hyperparams`` —
+  each instance's ``opt_state.hyperparams['lr']`` is its own scalar, so the
+  stock ``tx.update`` inside the train step reads a per-instance lr under
+  vmap with zero changes to the step code.
+* **gcl_m / gcl_s** ride in the loss ctx (``gcl_m_scale``/``gcl_s_scale``
+  entries; see train/step.py::branch_loss) — operands on the instance axis
+  instead of trace-time constants.
+
+Instance i = (hp_index h, fold f) trains fold f's data under grid[h], with
+the SAME per-fold host/device RNG streams as the sequential driver — so a
+grid row whose values equal the CLI defaults reproduces `run_cv` /
+`run_cv_vmapped` exactly (pinned by tests/test_hp_search.py). Fold data is
+replicated H times on the device (fine at WearGait scale; a fold is a few
+MB of windows).
+
+Reference surface being replaced: hand-retuned HP dicts + relaunch
+(train/configs.py:13-31, run_all.sh:9-26).
+"""
+
+from __future__ import annotations
+
+import itertools
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from gaitpd.learning.mtl import make_method
+from gaitpd.train.loop import EarlyStopper, EpochRunner, init_train_state
+from gaitpd.train.optim import sgd_torch
+from gaitpd.train.step import StepSettings, make_loss_ctx
+from gaitpd.train.vmap_cv import (
+    VmapEpochRunner,
+    aggregate_folds,
+    stack_ctx,
+    stack_epoch_rngs,
+    stack_folds,
+    stack_index_batches,
+)
+
+
+def make_grid(
+    lrs: Sequence[float],
+    gcl_ms: Sequence[float],
+    gcl_ss: Sequence[float],
+) -> List[Dict[str, float]]:
+    """Cartesian product of the supplied per-knob value lists."""
+    return [
+        {"lr": lr, "gcl_m": m, "gcl_s": s}
+        for lr, m, s in itertools.product(lrs, gcl_ms, gcl_ss)
+    ]
+
+
+def _inject_sgd(lr: float, momentum: float = 0.9, weight_decay: float = 1e-4):
+    """sgd_torch with lr as optimizer-STATE (vmappable hyperparameter)."""
+    return optax.inject_hyperparams(
+        sgd_torch, static_args=("momentum", "weight_decay")
+    )(lr=lr, momentum=momentum, weight_decay=weight_decay)
+
+
+def run_weargait_hp_vmapped(args, grid: List[Dict[str, float]]) -> dict:
+    """Train every (hp, fold) instance of the flagship WearGait config in one
+    vmapped program; returns the grid ranked by mean CV macro accuracy.
+
+    ``args`` is a ``WearGaitArgs``; each grid entry may set any subset of
+    {lr, gcl_m, gcl_s} (missing knobs fall back to the args values).
+    """
+    from gaitpd.train import weargait_driver as WD
+    from gaitpd.data import weargait as WG
+    from gaitpd.train.cv import (
+        build_subj2label,
+        make_fixed_balanced_folds_no_overlap,
+    )
+
+    if args.baseline is not None or args.single_mod is not None:
+        raise ValueError("HP-vmap covers the flagship 3-stream model")
+
+    async_mode = args.async_loading
+    sync_flag = not async_mode
+    streams, pd_ids, hc_ids = WD.get_streams(args)
+    subj2label = build_subj2label(pd_ids, hc_ids)
+    folds = make_fixed_balanced_folds_no_overlap(
+        pd_ids, hc_ids, n_folds=args.n_folds, per_class=args.test_per_class,
+        seed=args.seed,
+    )
+    if args.n_folds_cap:
+        folds = folds[: args.n_folds_cap]
+    nf = len(folds)
+    splits = [
+        WG.prepare_split(streams, tr, te, subj2label, win=args.win_len,
+                         hop=args.hop_len)
+        for tr, te in folds
+    ]
+    datas = [WD.split_to_device(s, async_mode, args.seed) for s in splits]
+
+    h = len(grid)
+    f = h * nf  # instance axis: h-major, fold-minor
+    stacked = stack_folds(datas * h)
+
+    settings = StepSettings(
+        n_streams=3, wm=args.wm, synchronized=sync_flag, gcl_m=args.gcl_m,
+        gcl_s=args.gcl_s, noise_mul=args.noise_mul, drw_warmup=args.drw_warmup,
+        consistency_lambda=0.0, private_grads="sum_plus_own",
+        modality_dropout=args.modality_dropout,
+    )
+
+    fold_ctxs = []
+    for d in datas:
+        counts = [
+            np.bincount(np.asarray(d.ys[k])[d.train_pool[:, k]],
+                        minlength=args.num_classes)
+            for k in range(3)
+        ]
+        fold_ctxs.append(make_loss_ctx(settings, counts))
+    ctxs = []
+    for hp in grid:
+        gm = jnp.float32(hp.get("gcl_m", args.gcl_m))
+        gs = jnp.float32(hp.get("gcl_s", args.gcl_s))
+        for c in fold_ctxs:
+            ctxs.append(tuple(
+                {**stream, "gcl_m_scale": gm, "gcl_s_scale": gs}
+                for stream in c
+            ))
+    ctx = stack_ctx(ctxs)
+
+    model = WD.build_model(args, sync_flag)
+    mtl = make_method(args.mtl_method,
+                      3,
+                      **({"c": args.alpha}
+                         if args.mtl_method in ("cagrad", "log_cagrad")
+                         else {})) if args.alpha > 0 else None
+
+    sample_xs = tuple(np.asarray(x[0, :2]) for x in stacked.xs)
+    states_list, partition = [], None
+    for hp in grid:
+        tx_i = _inject_sgd(hp.get("lr", args.lr))
+        for _ in range(nf):
+            st, partition = init_train_state(
+                model, tx_i, mtl, sample_xs, seed=args.seed
+            )
+            states_list.append(st)
+    states = jax.tree_util.tree_map(lambda *a: jnp.stack(a), *states_list)
+
+    tx = _inject_sgd(args.lr)  # template; per-instance lr lives in opt_state
+    runner = EpochRunner(model.apply, tx, settings, mtl, partition)
+    vrunner = VmapEpochRunner(runner)
+    stacked_dev = {"xs": stacked.xs, "ys": stacked.ys,
+                   "exs": stacked.eval_xs, "eys": stacked.eval_ys}
+
+    # per-fold RNG streams identical across HP rows (and identical to the
+    # sequential driver's) so a defaults row reproduces run_cv exactly
+    host_rngs = [np.random.default_rng(args.seed + 1000 * fi)
+                 for _ in grid for fi in range(1, nf + 1)]
+    keys = [jax.random.PRNGKey(args.seed + fi)
+            for _ in grid for fi in range(1, nf + 1)]
+    stoppers = [EarlyStopper(patience=args.patience) for _ in range(f)]
+
+    eval_idx, eval_valid = stack_index_batches(
+        stacked.eval_pools,
+        [np.arange(len(p)) for p in stacked.eval_pools],
+        args.batch_size,
+    )
+
+    for ep in range(1, args.epochs + 1):
+        states = states.replace(epoch=jnp.full((f,), ep - 1, jnp.int32))
+        train_pools = stacked.train_pools
+        if async_mode:
+            pools = [
+                WG.async_pool(s.train, np.random.default_rng(args.seed + ep))
+                for s in splits
+            ]
+            train_pools = pools * h
+        orders = [r.permutation(len(p))
+                  for r, p in zip(host_rngs, train_pools)]
+        idx, valid = stack_index_batches(train_pools, orders, args.batch_size)
+        k_trs, k_evs = [], []
+        for i in range(f):
+            keys[i], k_tr, k_ev = jax.random.split(keys[i], 3)
+            k_trs.append(k_tr)
+            k_evs.append(k_ev)
+        states, _ = vrunner.train_epoch(
+            states, stacked_dev["xs"], stacked_dev["ys"], idx, valid,
+            stack_epoch_rngs(k_trs, idx.shape[1]), ctx,
+        )
+        outs = vrunner.eval_epoch(
+            states.params, stacked_dev["exs"], stacked_dev["eys"], eval_idx,
+            eval_valid, stack_epoch_rngs(k_evs, eval_idx.shape[1]), ctx,
+            jnp.asarray(ep - 1, jnp.int32), jnp.ones((3,), bool),
+        )
+        ev = aggregate_folds(outs)
+        macros = (
+            ev["acc_batchmean"].mean(axis=1) if async_mode else ev["ens_acc"]
+        )
+        for st, v in zip(stoppers, macros):
+            if not st.stop:
+                st.update(float(v))
+        if args.verbose:
+            best = np.asarray([s.best for s in stoppers]).reshape(h, nf)
+            print(f"[hp-vmap] Ep {ep:03d} | per-HP mean best macro = "
+                  f"{np.array2string(best.mean(axis=1), precision=1)}")
+        if all(st.stop for st in stoppers):
+            print(f"[hp-vmap] all instances early-stopped at epoch {ep}")
+            break
+
+    best = np.asarray([s.best for s in stoppers]).reshape(h, nf)
+    table = [
+        {
+            "hp": grid[i],
+            "macro_mean": float(best[i].mean()),
+            "macro_std": float(best[i].std()),
+            "per_fold": [float(x) for x in best[i]],
+        }
+        for i in range(h)
+    ]
+    table.sort(key=lambda r: -r["macro_mean"])
+    if args.verbose:
+        print("\n=== HP grid ranked by mean CV macro ===")
+        for r in table:
+            print(f"{r['hp']}  ->  {r['macro_mean']:.2f}% ± "
+                  f"{r['macro_std']:.2f}%")
+    return {"table": table, "n_folds": nf, "grid_size": h}

@@ -104,13 +104,18 @@ def branch_loss(
             logits, labels, ctx["ldam_m"], s=settings.ldam_s, weight=ctx["cls_w"], valid=valid
         )
     if settings.wm == "gcl":
+        # the m/s scalars default to the static settings but may be
+        # OVERRIDDEN by per-instance ctx entries — that is what lets the
+        # HP-vmap runner (train/hp_search.py) train a grid of gcl_m/gcl_s
+        # values in one compiled program (the scalars become operands on
+        # the stacked instance axis instead of trace-time constants)
         return L.gcl_loss(
             logits,
             labels,
             ctx["gcl_m"],
             rng,
-            m=settings.gcl_m,
-            s=settings.gcl_s,
+            m=ctx.get("gcl_m_scale", settings.gcl_m),
+            s=ctx.get("gcl_s_scale", settings.gcl_s),
             noise_mul=settings.noise_mul,
             weight=ctx["drw_w"],
             valid=valid,

@@ -160,6 +160,10 @@ def main():
                     help="HBM dtype of the input windows (bfloat16 halves "
                          "the dominant bandwidth term of this tiny-channel "
                          "model; params/optimizer state stay f32)")
+    ap.add_argument("--cost_analysis", action="store_true",
+                    help="also print the XLA-compiled step's own cost model "
+                         "(FLOPs + HBM bytes accessed) and the implied "
+                         "bandwidth-bound step-time floor at v5e peak")
     args = ap.parse_args()
 
     import jax
@@ -181,6 +185,22 @@ def main():
             keys = jax.random.PRNGKey(0)
             fold_in = jax.random.fold_in
             windows_per_step = b
+        if args.cost_analysis:
+            ca = step.lower(state, batch, keys, ctx).compile().cost_analysis()
+            if isinstance(ca, (list, tuple)):
+                ca = ca[0]
+            flops = float(ca.get("flops", 0.0))
+            hbm = float(ca.get("bytes accessed", 0.0))
+            print(json.dumps({
+                "batch": b,
+                "xla_flops_per_step": flops,
+                "xla_hbm_bytes_per_step": hbm,
+                "hbm_bytes_per_window": round(hbm / max(1, windows_per_step)),
+                "bandwidth_floor_ms_at_819GBs": round(hbm / 819e9 * 1e3, 3),
+                "compute_floor_ms_at_peak": round(
+                    flops / V5E_PEAK_FLOPS * 1e3, 3
+                ),
+            }))
         t0 = time.perf_counter()
         state, metrics = step(state, batch, keys, ctx)
         jax.block_until_ready(metrics["losses"])

@@ -1,0 +1,85 @@
+"""HP-vmap runner (gaitpd/train/hp_search.py): a grid of (lr, gcl_m, gcl_s)
+values trains as one vmapped program; the row holding the CLI defaults must
+reproduce the plain vmapped-CV run exactly."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gaitpd.train.hp_search import make_grid, run_weargait_hp_vmapped
+from gaitpd.train.vmap_cv import run_cv_vmapped
+from gaitpd.train.weargait_driver import WearGaitArgs
+
+KW = dict(
+    n_folds=2, test_per_class=3, epochs=3, patience=50, synthetic=True,
+    verbose=False, seed=0, wm="gcl", alpha=0.5,
+)
+
+
+def test_hp_vmap_defaults_row_matches_run_cv_vmapped():
+    args = WearGaitArgs(**KW)
+    base = run_cv_vmapped(args)
+    res = run_weargait_hp_vmapped(
+        args, [{"lr": args.lr, "gcl_m": args.gcl_m, "gcl_s": args.gcl_s}]
+    )
+    row = res["table"][0]
+    np.testing.assert_allclose(
+        row["per_fold"], base["per_fold_macro"], atol=1e-6
+    )
+
+
+def test_hp_vmap_lr_axis_trains_distinct_instances():
+    """Two lr values in one program: the defaults row still reproduces the
+    plain run, and a near-zero lr row diverges from it (its weights barely
+    move, so its best macro differs)."""
+    args = WearGaitArgs(**KW)
+    base = run_cv_vmapped(args)
+    res = run_weargait_hp_vmapped(
+        args,
+        [{"lr": args.lr}, {"lr": 1e-8}],
+    )
+    rows = {r["hp"]["lr"]: r for r in res["table"]}
+    np.testing.assert_allclose(
+        rows[args.lr]["per_fold"], base["per_fold_macro"], atol=1e-6
+    )
+    assert rows[1e-8]["per_fold"] != rows[args.lr]["per_fold"]
+
+
+def test_gcl_scale_ctx_override_equals_static_setting():
+    """branch_loss with ctx-resident gcl_m/s scalars == the static-settings
+    path (the mechanism the HP axis rides on)."""
+    import jax
+
+    from gaitpd.train.step import StepSettings, branch_loss, make_loss_ctx
+
+    rng = np.random.default_rng(0)
+    logits = jnp.asarray(rng.normal(size=(16, 3)), jnp.float32)
+    labels = jnp.asarray(rng.integers(0, 3, size=16))
+    valid = jnp.ones((16,), jnp.float32)
+    key = jax.random.PRNGKey(7)
+
+    s_static = StepSettings(n_streams=1, wm="gcl", gcl_m=0.35, gcl_s=17.0)
+    s_other = StepSettings(n_streams=1, wm="gcl", gcl_m=0.2, gcl_s=25.0)
+    ctx = make_loss_ctx(s_static, [(9, 4, 2)])[0]
+    ctx_r = {**ctx, "drw_w": jnp.ones((3,))}
+
+    ref = branch_loss(s_static, logits, labels, ctx_r, key, valid)
+    ovr = branch_loss(
+        s_other, logits, labels,
+        {**ctx_r, "gcl_m_scale": jnp.float32(0.35),
+         "gcl_s_scale": jnp.float32(17.0)},
+        key, valid,
+    )
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(ovr), rtol=1e-6)
+
+
+def test_make_grid_product():
+    g = make_grid([1e-3, 1e-4], [0.2], [25.0, 30.0])
+    assert len(g) == 4
+    assert {"lr": 1e-4, "gcl_m": 0.2, "gcl_s": 30.0} in g
+
+
+def test_hp_vmap_rejects_baseline():
+    args = WearGaitArgs(baseline="taca", **KW)
+    with pytest.raises(ValueError):
+        run_weargait_hp_vmapped(args, [{"lr": 1e-3}])
