@@ -226,9 +226,9 @@ def run_weargait_hp_vmapped(args, grid: List[Dict[str, float]]) -> dict:
         for i in range(h)
     ]
     table.sort(key=lambda r: -r["macro_mean"])
-    if args.verbose:
-        print("\n=== HP grid ranked by mean CV macro ===")
-        for r in table:
-            print(f"{r['hp']}  ->  {r['macro_mean']:.2f}% ± "
-                  f"{r['macro_std']:.2f}%")
+    # the ranked grid IS the command's product — always print it
+    print("\n=== HP grid ranked by mean CV macro ===")
+    for r in table:
+        print(f"{r['hp']}  ->  {r['macro_mean']:.2f}% ± "
+              f"{r['macro_std']:.2f}%")
     return {"table": table, "n_folds": nf, "grid_size": h}
