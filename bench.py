@@ -248,6 +248,20 @@ def bench_train_step_jax(batch_size: int) -> float:
     )
     batch = {"xs": xs, "ys": ys, "valid": jnp.ones((b,), jnp.float32)}
     key = jax.random.PRNGKey(0)
+    # the executable's own cost model: HBM bytes -> bandwidth roofline
+    # (the honest utilization metric for this memory-bound model; the MXU
+    # FLOP floor is ~100x below the bandwidth floor)
+    roofline = {}
+    try:
+        ca = step.lower(state, batch, key, ctx).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        hbm = float(ca.get("bytes accessed", 0.0))
+        if hbm:
+            roofline = {"xla_hbm_gb_per_step": round(hbm / 1e9, 2),
+                        "hbm_floor_ms_819GBs": round(hbm / 819e9 * 1e3, 2)}
+    except Exception:  # noqa: BLE001 — cost model is optional telemetry
+        pass
     state, metrics = step(state, batch, key, ctx)
     jax.block_until_ready(metrics["losses"])  # compile
     best = 0.0
@@ -257,6 +271,12 @@ def bench_train_step_jax(batch_size: int) -> float:
             state, metrics = step(state, batch, jax.random.fold_in(key, i), ctx)
         jax.block_until_ready(metrics["losses"])
         best = max(best, batch_size * TRAIN_ITERS / (time.perf_counter() - t0))
+    if roofline:
+        step_ms = batch_size / best * 1e3
+        roofline["pct_of_hbm_speed_of_light"] = round(
+            100.0 * roofline["hbm_floor_ms_819GBs"] / step_ms, 1
+        )
+    bench_train_step_jax.roofline = roofline
     return best
 
 
@@ -669,6 +689,7 @@ def main():
             "unit": "trained windows/sec/chip",
             "vs_baseline": round(train_tput / train_cpu, 2),
             "batch": TRAIN_BATCH,
+            **getattr(bench_train_step_jax, "roofline", {}),
         }
     )
     print(json.dumps(extra[-1]), flush=True)
