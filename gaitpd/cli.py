@@ -108,6 +108,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="gcl_m values for --vmap_hp (default: just --gcl_m)")
     p.add_argument("--hp_gcl_ss", nargs="+", type=float, default=None,
                    help="gcl_s values for --vmap_hp (default: just --gcl_s)")
+    p.add_argument("--hp_alphas", nargs="+", type=float, default=None,
+                   help="CAGrad strength values for --vmap_hp "
+                        "(default: just --alpha; must all be >0)")
     return p
 
 
@@ -196,6 +199,7 @@ def run_weargait(ns: argparse.Namespace, baseline: str = None):
             ns.hp_lrs or [args.lr],
             ns.hp_gcl_ms or [args.gcl_m],
             ns.hp_gcl_ss or [args.gcl_s],
+            alphas=ns.hp_alphas,
         )
         return run_weargait_hp_vmapped(args, grid)
     if getattr(ns, "vmap_folds", False):

@@ -401,18 +401,22 @@ class CAGrad(_Base):
     log_space: bool = False  # LOG_CAGrad (reference :975-1098)
 
     def combine(self, losses, j_shared, gram, state, rng):
+        # c defaults to the static dataclass field but may ride in mtl_state
+        # (a per-instance operand) — that is what lets the HP-vmap runner
+        # (train/hp_search.py) sweep the CAGrad strength in one program
+        c = state.get("cagrad_c", self.c) if isinstance(state, dict) else self.c
         if self.log_space:
             inv_l = 1.0 / jnp.maximum(losses, EPS)
             j_shared = j_shared * inv_l[:, None]
             gram = gram * inv_l[:, None] * inv_l[None, :]
         g0_norm = jnp.sqrt(gram.mean() + EPS)
-        c_coef = self.c * g0_norm + EPS
+        c_coef = c * g0_norm + EPS
         w = cagrad_weights(gram, c_coef)
         gw = w @ j_shared
         gw_norm = jnp.sqrt(w @ gram @ w + EPS)
         lmbda = c_coef / (gw_norm + EPS)
         g = j_shared.mean(0) + lmbda * gw
-        g = g / (1.0 + self.c**2)
+        g = g / (1.0 + c**2)
         shared_flat = g * self.n_tasks
         # private params: plain accumulation of per-task grads (of the raw or
         # log losses respectively)

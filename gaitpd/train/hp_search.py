@@ -56,11 +56,18 @@ def make_grid(
     lrs: Sequence[float],
     gcl_ms: Sequence[float],
     gcl_ss: Sequence[float],
+    alphas: Optional[Sequence[float]] = None,
 ) -> List[Dict[str, float]]:
-    """Cartesian product of the supplied per-knob value lists."""
+    """Cartesian product of the supplied per-knob value lists. ``alphas``
+    sweeps the CAGrad strength c (reference's --alpha; rides in mtl_state)."""
+    if alphas is None:
+        return [
+            {"lr": lr, "gcl_m": m, "gcl_s": s}
+            for lr, m, s in itertools.product(lrs, gcl_ms, gcl_ss)
+        ]
     return [
-        {"lr": lr, "gcl_m": m, "gcl_s": s}
-        for lr, m, s in itertools.product(lrs, gcl_ms, gcl_ss)
+        {"lr": lr, "gcl_m": m, "gcl_s": s, "alpha": a}
+        for lr, m, s, a in itertools.product(lrs, gcl_ms, gcl_ss, alphas)
     ]
 
 
@@ -143,6 +150,14 @@ def run_weargait_hp_vmapped(args, grid: List[Dict[str, float]]) -> dict:
                          if args.mtl_method in ("cagrad", "log_cagrad")
                          else {})) if args.alpha > 0 else None
 
+    # the CAGrad strength (reference --alpha) rides in mtl_state when any
+    # grid row sweeps it — structure must be uniform across instances, so
+    # it is set for all rows or none (learning/mtl.py::CAGrad.combine)
+    sweep_alpha = (
+        mtl is not None
+        and args.mtl_method in ("cagrad", "log_cagrad")
+        and any("alpha" in hp for hp in grid)
+    )
     sample_xs = tuple(np.asarray(x[0, :2]) for x in stacked.xs)
     states_list, partition = [], None
     for hp in grid:
@@ -151,6 +166,11 @@ def run_weargait_hp_vmapped(args, grid: List[Dict[str, float]]) -> dict:
             st, partition = init_train_state(
                 model, tx_i, mtl, sample_xs, seed=args.seed
             )
+            if sweep_alpha:
+                st = st.replace(mtl_state={
+                    **st.mtl_state,
+                    "cagrad_c": jnp.float32(hp.get("alpha", args.alpha)),
+                })
             states_list.append(st)
     states = jax.tree_util.tree_map(lambda *a: jnp.stack(a), *states_list)
 

@@ -73,6 +73,40 @@ def test_gcl_scale_ctx_override_equals_static_setting():
     np.testing.assert_allclose(np.asarray(ref), np.asarray(ovr), rtol=1e-6)
 
 
+def test_hp_vmap_alpha_axis():
+    """CAGrad strength as a state-resident knob: the row holding the CLI
+    --alpha still reproduces the plain run (state path == static path), and
+    an extreme alpha row trains differently."""
+    args = WearGaitArgs(**KW)
+    base = run_cv_vmapped(args)
+    res = run_weargait_hp_vmapped(
+        args, [{"alpha": args.alpha}, {"alpha": 25.0}]
+    )
+    rows = {r["hp"]["alpha"]: r for r in res["table"]}
+    np.testing.assert_allclose(
+        rows[args.alpha]["per_fold"], base["per_fold_macro"], atol=1e-6
+    )
+    assert rows[25.0]["per_fold"] != rows[args.alpha]["per_fold"]
+
+
+def test_cagrad_state_resident_c_equals_static():
+    """CAGrad.combine with c in mtl_state == CAGrad(c=that value)."""
+    from gaitpd.learning.mtl import make_method
+
+    rng = np.random.default_rng(3)
+    j = jnp.asarray(rng.normal(size=(3, 40)), jnp.float32)
+    losses = jnp.asarray([1.0, 2.0, 0.5], jnp.float32)
+    gram = j @ j.T
+    key = None
+    a = make_method("cagrad", 3, c=0.7)
+    b = make_method("cagrad", 3, c=0.123)  # wrong static, overridden by state
+    ga, _, _, _ = a.combine(losses, j, gram, {}, key)
+    gb, _, _, _ = b.combine(
+        losses, j, gram, {"cagrad_c": jnp.float32(0.7)}, key
+    )
+    np.testing.assert_allclose(np.asarray(ga), np.asarray(gb), rtol=1e-6)
+
+
 def test_make_grid_product():
     g = make_grid([1e-3, 1e-4], [0.2], [25.0, 30.0])
     assert len(g) == 4
