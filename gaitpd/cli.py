@@ -98,10 +98,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "vmapped epoch scan (compiles once; with "
                         "--data_parallel the fold axis shards over devices)")
     p.add_argument("--vmap_hp", action="store_true",
-                   help="weargait flagship: run an (lr x gcl_m x gcl_s) "
+                   help="weargait flagship / fbg_fog (one concrete "
+                        "--modality): run an (lr x gcl_m x gcl_s x alpha) "
                         "hyperparameter grid as ONE vmapped program over "
                         "(hp x fold) instances; prints the grid ranked by "
-                        "mean CV macro (train/hp_search.py)")
+                        "the driver's CV selection metric "
+                        "(train/hp_search.py)")
     p.add_argument("--hp_lrs", nargs="+", type=float, default=None,
                    help="lr values for --vmap_hp (default: just --lr)")
     p.add_argument("--hp_gcl_ms", nargs="+", type=float, default=None,
@@ -145,6 +147,11 @@ def run_fbg_fog(ns: argparse.Namespace):
         rebuild_cache=ns.rebuild_cache,
         mesh=getattr(ns, "mesh", None),
     )
+    if getattr(ns, "vmap_hp", False):
+        from gaitpd.train.hp_search import make_grid, run_fbg_fog_hp_vmapped
+
+        grid = make_grid(ns.hp_lrs, ns.hp_gcl_ms, ns.hp_gcl_ss, ns.hp_alphas)
+        return run_fbg_fog_hp_vmapped(args, grid)
     if getattr(ns, "vmap_folds", False):
         from gaitpd.train.vmap_cv import run_fbg_fog_vmapped
 

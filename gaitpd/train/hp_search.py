@@ -53,22 +53,22 @@ from gaitpd.train.vmap_cv import (
 
 
 def make_grid(
-    lrs: Sequence[float],
-    gcl_ms: Sequence[float],
-    gcl_ss: Sequence[float],
+    lrs: Optional[Sequence[float]] = None,
+    gcl_ms: Optional[Sequence[float]] = None,
+    gcl_ss: Optional[Sequence[float]] = None,
     alphas: Optional[Sequence[float]] = None,
 ) -> List[Dict[str, float]]:
-    """Cartesian product of the supplied per-knob value lists. ``alphas``
-    sweeps the CAGrad strength c (reference's --alpha; rides in mtl_state)."""
-    if alphas is None:
-        return [
-            {"lr": lr, "gcl_m": m, "gcl_s": s}
-            for lr, m, s in itertools.product(lrs, gcl_ms, gcl_ss)
-        ]
-    return [
-        {"lr": lr, "gcl_m": m, "gcl_s": s, "alpha": a}
-        for lr, m, s, a in itertools.product(lrs, gcl_ms, gcl_ss, alphas)
-    ]
+    """Cartesian product of the supplied per-knob value lists; knobs whose
+    list is None/empty are omitted from the entries (the runners fall back
+    to the driver defaults). ``alphas`` sweeps the CAGrad strength c
+    (reference's --alpha; rides in mtl_state)."""
+    axes = {"lr": lrs, "gcl_m": gcl_ms, "gcl_s": gcl_ss, "alpha": alphas}
+    axes = {k: v for k, v in axes.items() if v}
+    if not axes:
+        return [{}]
+    names = list(axes)
+    return [dict(zip(names, vals))
+            for vals in itertools.product(*axes.values())]
 
 
 def _inject_sgd(lr: float, momentum: float = 0.9, weight_decay: float = 1e-4):
@@ -251,4 +251,189 @@ def run_weargait_hp_vmapped(args, grid: List[Dict[str, float]]) -> dict:
     for r in table:
         print(f"{r['hp']}  ->  {r['macro_mean']:.2f}% ± "
               f"{r['macro_std']:.2f}%")
+    return {"table": table, "n_folds": nf, "grid_size": h}
+
+
+def run_fbg_fog_hp_vmapped(args, grid: List[Dict[str, float]]) -> dict:
+    """FBG/FoG analogue of run_weargait_hp_vmapped: one compiled program
+    trains every (hp, fold) instance of one modality of the FBG/FoG driver
+    (sequential reference loop: fbg_fog_train.py:410-436). ``args`` is a
+    ``FbgFogArgs`` with a single concrete ``--modality`` (not all/both);
+    grid knobs: lr, gcl_m, gcl_s, alpha (CAGrad strength, multimodal only).
+    Ranking metric = each instance's best-epoch selection metric (ensemble
+    acc when synchronized, else mean branch acc)."""
+    from gaitpd.config import FBG_FOG_DIMS, FBG_FOG_TRAIN, normalize_dataset_name
+    from gaitpd.data.fbg_fog import build_fusion_fold
+    from gaitpd.train.cv import (
+        fbg_label_dict,
+        fog_label_dict,
+        generate_class_stratified_folds,
+    )
+    from gaitpd.train.fbg_fog_driver import choose_model, fold_to_device, get_reader
+
+    if args.modality in ("all", "both"):
+        raise ValueError("HP-vmap needs one concrete --modality")
+
+    dataset = normalize_dataset_name(args.dataset)
+    dims = FBG_FOG_DIMS[dataset]
+    tp = FBG_FOG_TRAIN[dataset]
+    epochs = args.epochs or tp.epochs
+    batch_size = args.batch_size or tp.batch_size
+    multimodal = args.modality == "multimodal"
+    n_streams = 2 if multimodal else 1
+
+    reader = get_reader(args)
+    rng = np.random.default_rng(args.seed)
+    label_dict = (fbg_label_dict(reader) if dataset == "fbg"
+                  else fog_label_dict(reader))
+    folds = generate_class_stratified_folds(label_dict, rng)
+    if args.n_folds_cap:
+        folds = folds[: args.n_folds_cap]
+    nf = len(folds)
+
+    datas = []
+    for train_subj, eval_subj in folds:
+        fold = build_fusion_fold(
+            dataset, reader, train_subj, eval_subj,
+            synchronized=args.synchronized_loading, seed=args.seed,
+            pad_skel=dims.pose_length, pad_sens=dims.sensor_length,
+            modality=args.modality,
+        )
+        datas.append(fold_to_device(fold, args.modality))
+
+    h = len(grid)
+    f = h * nf
+    stacked = stack_folds(datas * h)
+
+    settings = StepSettings(
+        n_streams=n_streams, wm=args.wm,
+        synchronized=args.synchronized_loading,
+        ldam_s=args.ldam_s, gcl_m=args.gcl_m, gcl_s=args.gcl_s,
+        noise_mul=args.noise_mul, drw_warmup=args.drw_warmup,
+        consistency_lambda=args.consistency_lambda if multimodal else 0.0,
+        private_grads="sum",
+    )
+    fold_ctxs = []
+    for d in datas:
+        counts = [
+            np.bincount(np.asarray(d.ys[k])[d.train_pool[:, k]],
+                        minlength=dims.num_classes)
+            for k in range(n_streams)
+        ]
+        fold_ctxs.append(make_loss_ctx(settings, counts, ldam_max_m=args.ldam_m))
+    ctxs = []
+    for hp in grid:
+        gm = jnp.float32(hp.get("gcl_m", args.gcl_m))
+        gs = jnp.float32(hp.get("gcl_s", args.gcl_s))
+        for c in fold_ctxs:
+            ctxs.append(tuple(
+                {**stream, "gcl_m_scale": gm, "gcl_s_scale": gs}
+                for stream in c
+            ))
+    ctx = stack_ctx(ctxs)
+
+    model = choose_model(args, dims)
+    mtl = None
+    if multimodal and args.alpha > 0:
+        kwargs = (
+            {"c": args.alpha, "max_norm": args.max_norm}
+            if args.mtl_method in ("cagrad", "log_cagrad")
+            else {}
+        )
+        mtl = make_method(args.mtl_method, n_streams, **kwargs)
+    sweep_alpha = (
+        mtl is not None
+        and args.mtl_method in ("cagrad", "log_cagrad")
+        and any("alpha" in hp for hp in grid)
+    )
+
+    sample_xs = tuple(np.asarray(x[0, :2]) for x in stacked.xs)
+    states_list, partition = [], None
+    for hp in grid:
+        tx_i = optax.inject_hyperparams(
+            sgd_torch, static_args=("momentum", "weight_decay")
+        )(lr=hp.get("lr", tp.learning_rate), momentum=tp.momentum,
+          weight_decay=tp.weight_decay)
+        for _ in range(nf):
+            st, partition = init_train_state(
+                model, tx_i, mtl, sample_xs, seed=args.seed
+            )
+            if sweep_alpha:
+                st = st.replace(mtl_state={
+                    **st.mtl_state,
+                    "cagrad_c": jnp.float32(hp.get("alpha", args.alpha)),
+                })
+            states_list.append(st)
+    states = jax.tree_util.tree_map(lambda *a: jnp.stack(a), *states_list)
+
+    tx = _inject_sgd(tp.learning_rate, tp.momentum, tp.weight_decay)
+    runner = EpochRunner(model.apply, tx, settings, mtl, partition)
+    vrunner = VmapEpochRunner(runner)
+    dev = {"xs": stacked.xs, "ys": stacked.ys,
+           "exs": stacked.eval_xs, "eys": stacked.eval_ys}
+
+    host_rngs = [np.random.default_rng(args.seed + 1000 * fi)
+                 for _ in grid for fi in range(1, nf + 1)]
+    keys = [jax.random.PRNGKey(args.seed + fi)
+            for _ in grid for fi in range(1, nf + 1)]
+    stoppers = [EarlyStopper(patience=tp.patience) for _ in range(f)]
+
+    eval_idx, eval_valid = stack_index_batches(
+        stacked.eval_pools,
+        [np.arange(len(p)) for p in stacked.eval_pools],
+        batch_size,
+    )
+    mask = jnp.ones((n_streams,), bool)
+    for ep in range(epochs):
+        states = states.replace(epoch=jnp.full((f,), ep, jnp.int32))
+        orders = [r.permutation(len(p))
+                  for r, p in zip(host_rngs, stacked.train_pools)]
+        idx, valid = stack_index_batches(stacked.train_pools, orders,
+                                         batch_size)
+        k_trs, k_evs = [], []
+        for i in range(f):
+            keys[i], k_tr, k_ev = jax.random.split(keys[i], 3)
+            k_trs.append(k_tr)
+            k_evs.append(k_ev)
+        states, _ = vrunner.train_epoch(
+            states, dev["xs"], dev["ys"], idx, valid,
+            stack_epoch_rngs(k_trs, idx.shape[1]), ctx,
+        )
+        outs = vrunner.eval_epoch(
+            states.params, dev["exs"], dev["eys"], eval_idx, eval_valid,
+            stack_epoch_rngs(k_evs, eval_idx.shape[1]), ctx,
+            jnp.asarray(ep, jnp.int32), mask,
+        )
+        ev = aggregate_folds(outs)
+        if multimodal and args.synchronized_loading:
+            avgs = ev["ens_acc"]
+        elif multimodal:
+            avgs = ev["acc"].mean(axis=1)
+        else:
+            avgs = ev["acc"][:, 0]
+        for st, v in zip(stoppers, avgs):
+            if not st.stop:
+                st.update(float(v))
+        if args.verbose:
+            best = np.asarray([s.best for s in stoppers]).reshape(h, nf)
+            print(f"[hp-vmap] Ep {ep + 1:03d} | per-HP mean best = "
+                  f"{np.array2string(best.mean(axis=1), precision=1)}")
+        if all(st.stop for st in stoppers):
+            print(f"[hp-vmap] all instances early-stopped at epoch {ep + 1}")
+            break
+
+    best = np.asarray([s.best for s in stoppers]).reshape(h, nf)
+    table = [
+        {
+            "hp": grid[i],
+            "acc_mean": float(best[i].mean()),
+            "acc_std": float(best[i].std()),
+            "per_fold": [float(x) for x in best[i]],
+        }
+        for i in range(h)
+    ]
+    table.sort(key=lambda r: -r["acc_mean"])
+    print("\n=== HP grid ranked by mean CV accuracy ===")
+    for r in table:
+        print(f"{r['hp']}  ->  {r['acc_mean']:.2f}% ± {r['acc_std']:.2f}%")
     return {"table": table, "n_folds": nf, "grid_size": h}

@@ -111,6 +111,35 @@ def test_make_grid_product():
     g = make_grid([1e-3, 1e-4], [0.2], [25.0, 30.0])
     assert len(g) == 4
     assert {"lr": 1e-4, "gcl_m": 0.2, "gcl_s": 30.0} in g
+    # unsupplied knobs are omitted (runner falls back to driver defaults)
+    assert make_grid(None, None, None) == [{}]
+    assert make_grid(alphas=[0.1, 0.5]) == [{"alpha": 0.1}, {"alpha": 0.5}]
+
+
+def test_fog_hp_vmap_axes():
+    """FBG/FoG HP-vmap: a grid row whose explicit values equal the driver
+    defaults matches the empty row (state-resident knobs == static knobs),
+    and an extreme-lr row trains differently."""
+    from gaitpd.train.fbg_fog_driver import FbgFogArgs
+    from gaitpd.train.hp_search import run_fbg_fog_hp_vmapped
+
+    args = FbgFogArgs(
+        dataset="fog", modality="multimodal", wm="gcl", use_norm_and_cos=True,
+        synthetic=True, epochs=3, n_folds_cap=2, verbose=False, seed=0,
+    )
+    res = run_fbg_fog_hp_vmapped(
+        args,
+        [{}, {"lr": 1e-3, "alpha": args.alpha}, {"lr": 10.0}],
+    )
+    rows = {tuple(sorted(r["hp"].items())): r for r in res["table"]}
+    default_row = rows[()]
+    explicit_row = rows[tuple(sorted({"lr": 1e-3, "alpha": args.alpha}.items()))]
+    np.testing.assert_allclose(
+        explicit_row["per_fold"], default_row["per_fold"], atol=1e-6
+    )
+    assert rows[tuple(sorted({"lr": 10.0}.items()))]["per_fold"] != \
+        default_row["per_fold"]
+    assert default_row["acc_mean"] > 35.0  # off 33% chance on synthetic
 
 
 def test_hp_vmap_rejects_baseline():
