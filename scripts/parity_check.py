@@ -52,6 +52,13 @@ CONFIGS = {
     "multimodal_gcl_cagrad": dict(dataset="fog", modality="multimodal",
                                   wm="gcl", sync=False, alpha=0.1, cos=True,
                                   drw=0),
+    # attribution ablation for the 32-seed flagship edge (+2.7 [+0.3,+5.1]):
+    # the 2x2 (loss x CAGrad) grid's missing cell — GCL + cosine heads with
+    # CAGrad DISABLED. If the edge persists here it lives in the loss/arch
+    # path; if it vanishes it is a CAGrad-interaction effect.
+    "multimodal_gcl_nocagrad": dict(dataset="fog", modality="multimodal",
+                                    wm="gcl", sync=False, alpha=0.0,
+                                    cos=True, drw=0),
     # deferred re-weighting mid-run (exercises the DRW swap at epoch 10)
     "multimodal_gcl_drw10_cagrad": dict(dataset="fog", modality="multimodal",
                                         wm="gcl", sync=False, alpha=0.1,
