@@ -78,6 +78,19 @@ def _inject_sgd(lr: float, momentum: float = 0.9, weight_decay: float = 1e-4):
     )(lr=lr, momentum=momentum, weight_decay=weight_decay)
 
 
+def _check_alpha_axis(args, mtl, grid) -> bool:
+    """Whether the grid sweeps the CAGrad strength; refuses a silently
+    ignored alpha axis (alpha only rides in CAGrad's mtl_state)."""
+    wants = any("alpha" in hp for hp in grid)
+    ok = mtl is not None and args.mtl_method in ("cagrad", "log_cagrad")
+    if wants and not ok:
+        raise ValueError(
+            "an 'alpha' HP axis needs CAGrad enabled "
+            "(--alpha > 0 and --mtl_method cagrad|log_cagrad)"
+        )
+    return wants and ok
+
+
 def run_weargait_hp_vmapped(args, grid: List[Dict[str, float]]) -> dict:
     """Train every (hp, fold) instance of the flagship WearGait config in one
     vmapped program; returns the grid ranked by mean CV macro accuracy.
@@ -153,11 +166,7 @@ def run_weargait_hp_vmapped(args, grid: List[Dict[str, float]]) -> dict:
     # the CAGrad strength (reference --alpha) rides in mtl_state when any
     # grid row sweeps it — structure must be uniform across instances, so
     # it is set for all rows or none (learning/mtl.py::CAGrad.combine)
-    sweep_alpha = (
-        mtl is not None
-        and args.mtl_method in ("cagrad", "log_cagrad")
-        and any("alpha" in hp for hp in grid)
-    )
+    sweep_alpha = _check_alpha_axis(args, mtl, grid)
     sample_xs = tuple(np.asarray(x[0, :2]) for x in stacked.xs)
     states_list, partition = [], None
     for hp in grid:
@@ -341,11 +350,7 @@ def run_fbg_fog_hp_vmapped(args, grid: List[Dict[str, float]]) -> dict:
             else {}
         )
         mtl = make_method(args.mtl_method, n_streams, **kwargs)
-    sweep_alpha = (
-        mtl is not None
-        and args.mtl_method in ("cagrad", "log_cagrad")
-        and any("alpha" in hp for hp in grid)
-    )
+    sweep_alpha = _check_alpha_axis(args, mtl, grid)
 
     sample_xs = tuple(np.asarray(x[0, :2]) for x in stacked.xs)
     states_list, partition = [], None

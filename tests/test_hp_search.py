@@ -146,3 +146,11 @@ def test_hp_vmap_rejects_baseline():
     args = WearGaitArgs(baseline="taca", **KW)
     with pytest.raises(ValueError):
         run_weargait_hp_vmapped(args, [{"lr": 1e-3}])
+
+
+def test_hp_vmap_rejects_ignored_alpha_axis():
+    """An alpha axis with CAGrad disabled must refuse, not silently no-op."""
+    kw = {**KW, "alpha": 0.0}
+    args = WearGaitArgs(**kw)
+    with pytest.raises(ValueError, match="alpha"):
+        run_weargait_hp_vmapped(args, [{"alpha": 0.5}])
