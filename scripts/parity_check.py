@@ -47,6 +47,14 @@ CONFIGS = {
                                  drw=0),
     "multimodal_ce_sync": dict(dataset="fog", modality="multimodal", wm="ce",
                                sync=True, alpha=0.0, cos=False, drw=0),
+    # synchronized GCL + cosine heads + CAGrad — the configuration where the
+    # symmetric-KL prediction consistency actually fires (consistency_lambda
+    # 1.0 in both frameworks; reference fbg_fog_train.py:80-89,121-124) and
+    # selection is by softmax-ensemble accuracy (:238-243). Unlike the
+    # bimodal sync-CE row, GCL configs train stably.
+    "multimodal_gcl_sync": dict(dataset="fog", modality="multimodal",
+                                wm="gcl", sync=True, alpha=0.1, cos=True,
+                                drw=0),
     # the reference's default loss path (flagship): GCL + cosine heads +
     # DRW-at-0 + CAGrad
     "multimodal_gcl_cagrad": dict(dataset="fog", modality="multimodal",
