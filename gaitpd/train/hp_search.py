@@ -185,9 +185,21 @@ def run_weargait_hp_vmapped(args, grid: List[Dict[str, float]]) -> dict:
 
     tx = _inject_sgd(args.lr)  # template; per-instance lr lives in opt_state
     runner = EpochRunner(model.apply, tx, settings, mtl, partition)
-    vrunner = VmapEpochRunner(runner)
-    stacked_dev = {"xs": stacked.xs, "ys": stacked.ys,
-                   "exs": stacked.eval_xs, "eys": stacked.eval_ys}
+    # with a mesh the (hp x fold) instance axis shards over devices exactly
+    # like the fold axis of the vmapped CV (instance-parallel HP search,
+    # zero cross-device collectives)
+    mesh = getattr(args, "mesh", None)
+    if mesh is not None and f % mesh.devices.size != 0:
+        print(f"[hp-vmap] {f} instances not divisible by "
+              f"{mesh.devices.size} devices; running single-device")
+        mesh = None
+    vrunner = VmapEpochRunner(runner, mesh=mesh)
+    states = vrunner.shard_folds(states)
+    ctx = vrunner.shard_folds(ctx)
+    stacked_dev = vrunner.shard_folds(
+        {"xs": stacked.xs, "ys": stacked.ys,
+         "exs": stacked.eval_xs, "eys": stacked.eval_ys}
+    )
 
     # per-fold RNG streams identical across HP rows (and identical to the
     # sequential driver's) so a defaults row reproduces run_cv exactly

@@ -142,6 +142,26 @@ def test_fog_hp_vmap_axes():
     assert default_row["acc_mean"] > 35.0  # off 33% chance on synthetic
 
 
+def test_hp_vmap_instance_sharded_mesh_matches_single_device():
+    """(hp x fold) = 4 x 2 = 8 instances sharded over the 8-device mesh
+    reproduce the single-device grid exactly (instance-parallel HP search)."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    from gaitpd.runtime.mesh import make_mesh
+
+    grid = [{"lr": lr, "gcl_m": m}
+            for lr in (1e-3, 3e-3) for m in (0.1, 0.2)]
+    base = run_weargait_hp_vmapped(WearGaitArgs(**KW), grid)
+    meshed = run_weargait_hp_vmapped(
+        WearGaitArgs(mesh=make_mesh(8), **KW), grid
+    )
+    for rb, rm in zip(base["table"], meshed["table"]):
+        assert rb["hp"] == rm["hp"]
+        np.testing.assert_allclose(rm["per_fold"], rb["per_fold"], atol=1e-5)
+
+
 def test_hp_vmap_rejects_baseline():
     args = WearGaitArgs(baseline="taca", **KW)
     with pytest.raises(ValueError):
