@@ -385,9 +385,18 @@ def run_fbg_fog_hp_vmapped(args, grid: List[Dict[str, float]]) -> dict:
 
     tx = _inject_sgd(tp.learning_rate, tp.momentum, tp.weight_decay)
     runner = EpochRunner(model.apply, tx, settings, mtl, partition)
-    vrunner = VmapEpochRunner(runner)
-    dev = {"xs": stacked.xs, "ys": stacked.ys,
-           "exs": stacked.eval_xs, "eys": stacked.eval_ys}
+    mesh = getattr(args, "mesh", None)
+    if mesh is not None and f % mesh.devices.size != 0:
+        print(f"[hp-vmap] {f} instances not divisible by "
+              f"{mesh.devices.size} devices; running single-device")
+        mesh = None
+    vrunner = VmapEpochRunner(runner, mesh=mesh)
+    states = vrunner.shard_folds(states)
+    ctx = vrunner.shard_folds(ctx)
+    dev = vrunner.shard_folds(
+        {"xs": stacked.xs, "ys": stacked.ys,
+         "exs": stacked.eval_xs, "eys": stacked.eval_ys}
+    )
 
     host_rngs = [np.random.default_rng(args.seed + 1000 * fi)
                  for _ in grid for fi in range(1, nf + 1)]

@@ -162,6 +162,29 @@ def test_hp_vmap_instance_sharded_mesh_matches_single_device():
         np.testing.assert_allclose(rm["per_fold"], rb["per_fold"], atol=1e-5)
 
 
+def test_fog_hp_vmap_mesh_matches_single_device():
+    """FoG HP grid sharded over the 8-device mesh == single-device."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    from gaitpd.runtime.mesh import make_mesh
+    from gaitpd.train.fbg_fog_driver import FbgFogArgs
+    from gaitpd.train.hp_search import run_fbg_fog_hp_vmapped
+
+    kw = dict(
+        dataset="fog", modality="multimodal", wm="gcl", use_norm_and_cos=True,
+        synthetic=True, epochs=2, n_folds_cap=2, verbose=False, seed=0,
+    )
+    grid = [{"lr": lr, "gcl_m": m}
+            for lr in (1e-3, 3e-3) for m in (0.1, 0.2)]
+    base = run_fbg_fog_hp_vmapped(FbgFogArgs(**kw), grid)
+    meshed = run_fbg_fog_hp_vmapped(FbgFogArgs(mesh=make_mesh(8), **kw), grid)
+    for rb, rm in zip(base["table"], meshed["table"]):
+        assert rb["hp"] == rm["hp"]
+        np.testing.assert_allclose(rm["per_fold"], rb["per_fold"], atol=1e-5)
+
+
 def test_hp_vmap_rejects_baseline():
     args = WearGaitArgs(baseline="taca", **KW)
     with pytest.raises(ValueError):
