@@ -251,19 +251,28 @@ def bench_train_step_jax(batch_size: int) -> float:
     # the executable's own cost model: HBM bytes -> bandwidth roofline
     # (the honest utilization metric for this memory-bound model; the MXU
     # FLOP floor is ~100x below the bandwidth floor)
+    # One AOT lower+compile serves BOTH the cost-model telemetry and the
+    # timing loop (AOT executables bypass the jit dispatch cache, so calling
+    # step() afterwards would compile a second time — minutes on the
+    # remote-compile relay).
     roofline = {}
     try:
-        ca = step.lower(state, batch, key, ctx).compile().cost_analysis()
-        if isinstance(ca, (list, tuple)):
-            ca = ca[0]
-        hbm = float(ca.get("bytes accessed", 0.0))
-        if hbm:
-            roofline = {"xla_hbm_gb_per_step": round(hbm / 1e9, 2),
-                        "hbm_floor_ms_819GBs": round(hbm / 819e9 * 1e3, 2)}
-    except Exception:  # noqa: BLE001 — cost model is optional telemetry
+        compiled = step.lower(state, batch, key, ctx).compile()
+        try:
+            ca = compiled.cost_analysis()
+            if isinstance(ca, (list, tuple)):
+                ca = ca[0]
+            hbm = float(ca.get("bytes accessed", 0.0))
+            if hbm:
+                roofline = {"xla_hbm_gb_per_step": round(hbm / 1e9, 2),
+                            "hbm_floor_ms_819GBs": round(hbm / 819e9 * 1e3, 2)}
+        except Exception:  # noqa: BLE001 — cost model is optional telemetry
+            pass
+        step = compiled
+    except Exception:  # noqa: BLE001 — fall back to the jit path
         pass
     state, metrics = step(state, batch, key, ctx)
-    jax.block_until_ready(metrics["losses"])  # compile
+    jax.block_until_ready(metrics["losses"])  # compile (no-op if AOT)
     best = 0.0
     for _ in range(3):  # best of 3 (tunnel jitter; see bench_jax)
         t0 = time.perf_counter()

@@ -80,13 +80,20 @@ def _inject_sgd(lr: float, momentum: float = 0.9, weight_decay: float = 1e-4):
 
 def _check_alpha_axis(args, mtl, grid) -> bool:
     """Whether the grid sweeps the CAGrad strength; refuses a silently
-    ignored alpha axis (alpha only rides in CAGrad's mtl_state)."""
+    ignored alpha axis (alpha only rides in CAGrad's mtl_state) and
+    non-positive strengths (c<=0 is a degenerate CAGrad, not CAGrad-off)."""
     wants = any("alpha" in hp for hp in grid)
     ok = mtl is not None and args.mtl_method in ("cagrad", "log_cagrad")
     if wants and not ok:
         raise ValueError(
             "an 'alpha' HP axis needs CAGrad enabled "
             "(--alpha > 0 and --mtl_method cagrad|log_cagrad)"
+        )
+    bad = [hp["alpha"] for hp in grid if "alpha" in hp and hp["alpha"] <= 0]
+    if bad:
+        raise ValueError(
+            f"alpha HP values must be > 0 (got {bad}); use --alpha 0 "
+            "without an alpha axis to disable CAGrad"
         )
     return wants and ok
 
@@ -170,21 +177,26 @@ def run_weargait_hp_vmapped(args, grid: List[Dict[str, float]]) -> dict:
     sample_xs = tuple(np.asarray(x[0, :2]) for x in stacked.xs)
     states_list, partition = [], None
     for hp in grid:
+        # one init per HP row (every fold starts from the same seed, like
+        # the sequential driver); the row state is replicated nf times
         tx_i = _inject_sgd(hp.get("lr", args.lr))
-        for _ in range(nf):
-            st, partition = init_train_state(
-                model, tx_i, mtl, sample_xs, seed=args.seed
-            )
-            if sweep_alpha:
-                st = st.replace(mtl_state={
-                    **st.mtl_state,
-                    "cagrad_c": jnp.float32(hp.get("alpha", args.alpha)),
-                })
-            states_list.append(st)
+        st, partition = init_train_state(
+            model, tx_i, mtl, sample_xs, seed=args.seed
+        )
+        if sweep_alpha:
+            st = st.replace(mtl_state={
+                **st.mtl_state,
+                "cagrad_c": jnp.float32(hp.get("alpha", args.alpha)),
+            })
+        states_list.extend([st] * nf)
     states = jax.tree_util.tree_map(lambda *a: jnp.stack(a), *states_list)
 
     tx = _inject_sgd(args.lr)  # template; per-instance lr lives in opt_state
-    runner = EpochRunner(model.apply, tx, settings, mtl, partition)
+    # flagship_apply honours --fused (same composition as run_fold /
+    # run_cv_vmapped)
+    runner = EpochRunner(
+        WD.flagship_apply(model, args), tx, settings, mtl, partition
+    )
     # with a mesh the (hp x fold) instance axis shards over devices exactly
     # like the fold axis of the vmapped CV (instance-parallel HP search,
     # zero cross-device collectives)
@@ -367,20 +379,17 @@ def run_fbg_fog_hp_vmapped(args, grid: List[Dict[str, float]]) -> dict:
     sample_xs = tuple(np.asarray(x[0, :2]) for x in stacked.xs)
     states_list, partition = [], None
     for hp in grid:
-        tx_i = optax.inject_hyperparams(
-            sgd_torch, static_args=("momentum", "weight_decay")
-        )(lr=hp.get("lr", tp.learning_rate), momentum=tp.momentum,
-          weight_decay=tp.weight_decay)
-        for _ in range(nf):
-            st, partition = init_train_state(
-                model, tx_i, mtl, sample_xs, seed=args.seed
-            )
-            if sweep_alpha:
-                st = st.replace(mtl_state={
-                    **st.mtl_state,
-                    "cagrad_c": jnp.float32(hp.get("alpha", args.alpha)),
-                })
-            states_list.append(st)
+        tx_i = _inject_sgd(hp.get("lr", tp.learning_rate), tp.momentum,
+                           tp.weight_decay)
+        st, partition = init_train_state(
+            model, tx_i, mtl, sample_xs, seed=args.seed
+        )
+        if sweep_alpha:
+            st = st.replace(mtl_state={
+                **st.mtl_state,
+                "cagrad_c": jnp.float32(hp.get("alpha", args.alpha)),
+            })
+        states_list.extend([st] * nf)
     states = jax.tree_util.tree_map(lambda *a: jnp.stack(a), *states_list)
 
     tx = _inject_sgd(tp.learning_rate, tp.momentum, tp.weight_decay)

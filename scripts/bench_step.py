@@ -73,7 +73,8 @@ def build_step(batch_size: int, precision: str = "highest",
 
 
 def build_step_foldvmap(n_folds: int, batch_size: int,
-                        precision: str = "highest", fused: bool = False):
+                        precision: str = "highest", fused: bool = False,
+                        input_dtype: str = "float32"):
     """The vmapped-CV hot loop (gaitpd/train/vmap_cv.py): F independent fold
     states trained by ONE compiled step, fold axis stacked on top of the
     batch axis — effective batch F x B (VERDICT r2 item 4: the free
@@ -95,9 +96,10 @@ def build_step_foldvmap(n_folds: int, batch_size: int,
     )
 
     f, b, t = n_folds, batch_size, 64
+    dt = jnp.dtype(input_dtype)
     rng = np.random.default_rng(0)
     xs = tuple(
-        jnp.asarray(rng.normal(size=(f, b, t, c)), jnp.float32)
+        jnp.asarray(rng.normal(size=(f, b, t, c)), dt)
         for c in (2, 13, 24)
     )
     ys = tuple(
@@ -173,7 +175,8 @@ def main():
     for b in [int(x) for x in args.batches.split(",")]:
         if args.folds:
             step, state, batch, ctx, keys = build_step_foldvmap(
-                args.folds, b, args.precision, fused=args.fused
+                args.folds, b, args.precision, fused=args.fused,
+                input_dtype=args.input_dtype,
             )
             fold_in = jax.vmap(jax.random.fold_in, in_axes=(0, None))
             windows_per_step = args.folds * b

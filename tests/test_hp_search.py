@@ -157,9 +157,12 @@ def test_hp_vmap_instance_sharded_mesh_matches_single_device():
     meshed = run_weargait_hp_vmapped(
         WearGaitArgs(mesh=make_mesh(8), **KW), grid
     )
-    for rb, rm in zip(base["table"], meshed["table"]):
-        assert rb["hp"] == rm["hp"]
-        np.testing.assert_allclose(rm["per_fold"], rb["per_fold"], atol=1e-5)
+    key = lambda r: tuple(sorted(r["hp"].items()))  # noqa: E731
+    base_rows = {key(r): r for r in base["table"]}
+    for rm in meshed["table"]:
+        np.testing.assert_allclose(
+            rm["per_fold"], base_rows[key(rm)]["per_fold"], atol=1e-5
+        )
 
 
 def test_fog_hp_vmap_mesh_matches_single_device():
@@ -180,9 +183,12 @@ def test_fog_hp_vmap_mesh_matches_single_device():
             for lr in (1e-3, 3e-3) for m in (0.1, 0.2)]
     base = run_fbg_fog_hp_vmapped(FbgFogArgs(**kw), grid)
     meshed = run_fbg_fog_hp_vmapped(FbgFogArgs(mesh=make_mesh(8), **kw), grid)
-    for rb, rm in zip(base["table"], meshed["table"]):
-        assert rb["hp"] == rm["hp"]
-        np.testing.assert_allclose(rm["per_fold"], rb["per_fold"], atol=1e-5)
+    key = lambda r: tuple(sorted(r["hp"].items()))  # noqa: E731
+    base_rows = {key(r): r for r in base["table"]}
+    for rm in meshed["table"]:
+        np.testing.assert_allclose(
+            rm["per_fold"], base_rows[key(rm)]["per_fold"], atol=1e-5
+        )
 
 
 def test_hp_vmap_rejects_baseline():
