@@ -391,3 +391,71 @@ def test_deepav_2mod_forward_parity():
                 np.testing.assert_allclose(
                     np.asarray(ours_out[1]), ref_e.numpy(), rtol=1e-4, atol=1e-5
                 )
+
+
+def test_focal_2mod_gradient_parity():
+    """ONE-STEP GRADIENT parity for the FOCAL async trainer: under weight
+    transplant, the summed-CE gradients of every layer match the torch
+    reference to ~1e-8 (run while investigating the +6% focal_async
+    training-outcome row — proves the per-step semantics are exact, so the
+    outcome gap lives in init draws / data order, not the update math)."""
+    import torch.nn.functional as F
+    from focal import FOCALSharedLatentBaseline as RefModel
+
+    from gaitpd.models.baselines import FOCALSharedLatent
+
+    kw = dict(skeleton_output_dim=6, sensor_out_channels=6, sensor_length=426,
+              d_shared=16, d_private=8, shared_out_channels=4, backbone_dim=4,
+              num_classes=3)
+    rng = np.random.default_rng(0)
+    x_skel = jnp.asarray(rng.normal(size=(16, 101, 21)), jnp.float32)
+    x_sens = jnp.asarray(rng.normal(size=(16, 426, 6)), jnp.float32)
+    y = jnp.asarray(rng.integers(0, 3, size=16))
+
+    ours = FOCALSharedLatent(synchronized=False, **kw)
+    variables = ours.init(jax.random.PRNGKey(3), x_skel, x_sens)
+    p = variables["params"]
+
+    def loss_fn(params):
+        ls, lm = ours.apply({"params": params}, x_skel, x_sens)
+        ce = lambda lg: -jnp.mean(  # noqa: E731
+            jax.nn.log_softmax(lg)[jnp.arange(16), y]
+        )
+        return ce(ls) + ce(lm)
+
+    g = jax.grad(loss_fn)(p)
+
+    ref = RefModel(
+        skeleton_input_dim=21, skeleton_output_dim=6, sensor_in_channels=6,
+        sensor_out_channels=6, sensor_length=426, d_shared=16, d_private=8,
+        shared_out_channels=4, backbone_dim=4, num_classes=3,
+    )
+    load_linear(ref.skel_enc.fc1, p["skel_enc"]["TorchLinear_0"])
+    load_ln(ref.skel_enc.ln1, p["skel_enc"]["LayerNorm_0"])
+    load_conv(ref.sens_enc.conv1d, p["sens_enc"]["Conv1dSame_0"])
+    for nm in ("sk_sh", "sk_pr", "im_sh", "im_pr"):
+        load_linear(getattr(ref, nm), p[nm])
+    load_conv(ref.backbone.conv1d, p["backbone"]["Conv1dSame_0"])
+    load_taskhead(ref.head_skel, p["head_skel"])
+    load_taskhead(ref.head_sensor, p["head_sensor"])
+    ref.train()
+    ls, lm = ref(t_(x_skel), t_(x_sens), synced=False)
+    ty = torch.tensor(np.asarray(y)).long()
+    loss = F.cross_entropy(ls, ty) + F.cross_entropy(lm, ty)
+    loss.backward()
+
+    np.testing.assert_allclose(float(loss_fn(p)), float(loss.detach()),
+                               rtol=1e-5)
+    checks = [
+        (ref.head_skel.fc.weight.grad.numpy().T,
+         g["head_skel"]["TorchLinear_0"]["Dense_0"]["kernel"]),
+        (ref.sk_sh.weight.grad.numpy().T, g["sk_sh"]["Dense_0"]["kernel"]),
+        (ref.skel_enc.fc1.weight.grad.numpy().T,
+         g["skel_enc"]["TorchLinear_0"]["Dense_0"]["kernel"]),
+        (ref.backbone.conv1d.weight.grad.numpy().transpose(2, 1, 0),
+         g["backbone"]["Conv1dSame_0"]["Conv_0"]["kernel"]),
+        (ref.sens_enc.conv1d.weight.grad.numpy().transpose(2, 1, 0),
+         g["sens_enc"]["Conv1dSame_0"]["Conv_0"]["kernel"]),
+    ]
+    for r, o in checks:
+        np.testing.assert_allclose(r, np.asarray(o), atol=1e-6)
