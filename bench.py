@@ -722,11 +722,14 @@ def main():
         )
         print(json.dumps(extra[-1]), flush=True)
         # bf16 MXU variant (the TPU-native deployment precision; f32-HIGHEST
-        # above is the torch-parity precision)
-        fv_bf16 = bench_train_step_foldvmap(FOLDVMAP_BATCH_BF16, "default")
+        # above is the torch-parity precision); finally-reset so a mid-bench
+        # failure can't leak bf16 matmuls into the later metrics
         import jax as _jax
 
-        _jax.config.update("jax_default_matmul_precision", "highest")
+        try:
+            fv_bf16 = bench_train_step_foldvmap(FOLDVMAP_BATCH_BF16, "default")
+        finally:
+            _jax.config.update("jax_default_matmul_precision", "highest")
         extra.append(
             {
                 "metric": "weargait_foldvmap_train_step_bf16",

@@ -100,7 +100,14 @@ class WearGaitEngine:
 
         path = Path(ckpt_root) / "vmap" / "latest"
         payload = ocp.PyTreeCheckpointer().restore(path.resolve())
-        best = payload["extras"]["best_params"]
+        extras = payload.get("extras") or {}
+        if "best_params" not in extras:
+            raise ValueError(
+                f"{path} is not a weargait vmap snapshot: its extras carry no "
+                "'best_params' (the fbg_fog/single-mod vmap drivers save "
+                "extras={}); serve from a weargait --vmap_cv checkpoint"
+            )
+        best = extras["best_params"]
         n_folds = _jax.tree_util.tree_leaves(best)[0].shape[0]
         if not 0 <= fold < n_folds:
             raise ValueError(f"fold {fold} out of range (snapshot has "
@@ -227,7 +234,9 @@ def poll_sessions(
     round-trip) dominates; batching across sessions amortizes it so the chip
     sees one large matmul-friendly batch. Sessions with different modality
     subsets (relaxed input) are grouped so each compiled mask pattern gets
-    one call; results are scattered back per session.
+    one call, and sessions backed by different engines (e.g. per-fold engines
+    from from_vmap_checkpoint) are grouped separately so each batch is scored
+    by its own parameters; results are scattered back per session.
 
     Returns a list aligned with `sessions`: {"window_probs", "pred"} for
     sessions that had complete windows, None for the rest."""
@@ -237,12 +246,12 @@ def poll_sessions(
         n = s.n_ready()
         if n == 0:
             continue
-        key = tuple(sorted(s.buffers))
+        key = (id(s.engine), tuple(sorted(s.buffers)))
         groups.setdefault(key, []).append((idx, n, s.pop_windows(n)))
-    for key, members in groups.items():
+    for (_, mods), members in groups.items():
         batch = {
             m: np.concatenate([w[m] for _, _, w in members], axis=0)
-            for m in key
+            for m in mods
         }
         engine = sessions[members[0][0]].engine
         probs = engine.predict_windows(batch)

@@ -44,10 +44,22 @@ from parity_check import paired_stats  # noqa: E402  (sibling script)
 CONFIGS = {
     "fusion_cheap_xattn_async": dict(kind="fusion", ft="cheap_xattn", sync=False),
     "fusion_early_sync": dict(kind="fusion", ft="early", sync=True),
+    # r4: the mode-complement rows — every reference driver x sync/async
+    # combination now has a training-parity row (VERDICT r3 item 2):
+    # late fusion in its natural async mode (fusion_train.py:188-200),
+    # share_latent sync exercising its keep-two-heads sync branch
+    # (fusion_train.py:168-173,209-254), FOCAL's sync single-head path
+    # (focal_train.py:40-54), DeepAV's async forward_feats+separate-heads
+    # path (deepav_train.py:92-94), TACA's sync joint-head path
+    # (taca_train.py:44-49).
+    "fusion_late_async": dict(kind="fusion", ft="late", sync=False),
     "fusion_share_latent_sync": dict(kind="fusion", ft="share_latent", sync=True),
     "focal_async": dict(kind="focal", ft=None, sync=False),
+    "focal_sync": dict(kind="focal", ft=None, sync=True),
     "deepav_sync": dict(kind="deepav", ft=None, sync=True),
+    "deepav_async": dict(kind="deepav", ft=None, sync=False),
     "taca_async": dict(kind="taca", ft=None, sync=False),
+    "taca_sync": dict(kind="taca", ft=None, sync=True),
     # the fbg branch of the fusion driver: batch 32, sensor pad 150 -> full
     # 65x3 GRF, pose-&-sensor-only eval folds (fusion_train.py:22-27,99-110);
     # async only — fbg+sync crashes in the reference (oversample_equally)

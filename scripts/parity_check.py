@@ -252,11 +252,18 @@ def main():
         ours_list, ref_list = [], []
         done_seeds = []
         if config in prev:
-            done_seeds = list(prev.get("seeds_run", {}).get(config, prev_seeds))
             ours_list = list(prev[config]["per_seed"]["gaitpd"])
             ref_list = list(prev[config]["per_seed"]["reference"])
-            # a seed only counts as done if its result is actually present
-            done_seeds = done_seeds[: len(ours_list)]
+            seeds_run = prev.get("seeds_run", {}).get(config)
+            if seeds_run is not None:
+                # a seed only counts as done if its result is actually present
+                done_seeds = list(seeds_run)[: len(ours_list)]
+            else:
+                # legacy report (no per-config seeds_run): its own `seeds`
+                # field IS exactly what was run (e.g. parity_gcl_s08's
+                # original seeds are 8-15) — trust it untruncated rather
+                # than dropping/duplicating the non-smallest seeds
+                done_seeds = list(prev_seeds)
         for seed in ns.seeds:
             if seed in done_seeds:
                 continue

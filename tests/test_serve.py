@@ -158,3 +158,37 @@ def test_poll_sessions_batched_matches_per_session(engine):
                 err_msg=f"session {i}",
             )
             np.testing.assert_array_equal(batched[i]["pred"], ref["pred"])
+
+
+def test_poll_sessions_groups_by_engine(engine):
+    """Sessions backed by DIFFERENT engines (per-fold params) in the same
+    modality subset must each be scored by their own model, not the first
+    member's (r3 advisor medium)."""
+    try:
+        from gaitpd.serve import StreamingSession, poll_sessions
+    except Exception as e:  # pragma: no cover
+        pytest.skip(f"native import unavailable: {e}")
+    model = WearGaitThreeModal(synchronized=True)
+    xs = tuple(jnp.ones((2, 64, c)) for c in (2, 13, 24))
+    engine2 = WearGaitEngine(model.init(jax.random.PRNGKey(7), *xs))
+    try:
+        sessions = [StreamingSession(e, modalities=("imu",))
+                    for e in (engine, engine2)]
+    except Exception as e:
+        pytest.skip(f"native build unavailable: {e}")
+    rng = np.random.default_rng(6)
+    x = rng.normal(size=(64, 24))
+    for s in sessions:
+        s.push("imu", x)
+    batched = poll_sessions(sessions)
+    for i, eng in enumerate((engine, engine2)):
+        want = eng.predict_windows(
+            {"imu": ((x - 0.0) / 1.0).astype(np.float32)[None]}
+        )
+        np.testing.assert_allclose(
+            batched[i]["window_probs"], want, rtol=1e-5,
+            err_msg=f"session {i} scored by the wrong engine",
+        )
+    # the two engines genuinely disagree, so the test has teeth
+    assert not np.allclose(batched[0]["window_probs"],
+                           batched[1]["window_probs"])
