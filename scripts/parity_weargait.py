@@ -183,8 +183,33 @@ def main():
     from gaitpd.data.synthetic import make_weargait_streams
 
     report = {"epochs": ns.epochs, "async": ns.async_loading, "wm": ns.wm,
-              "tie_free": ns.tie_free, "seeds": {}}
+              "tie_free": ns.tie_free, "n_folds": ns.n_folds,
+              "per_class": ns.per_class, "strength": ns.strength, "seeds": {}}
+    # seed-merge mode (r4): extend an existing report with new seeds instead
+    # of rerunning everything in one invocation. Seeds are keyed per-seed so
+    # the merge is exact; config fields must match (fields absent from a
+    # legacy report are treated as matching — they were only ever run at the
+    # defaults above).
+    out_path = Path(ns.out)
+    if out_path.exists():
+        prev = json.loads(out_path.read_text())
+        same = all(
+            prev.get(k, report[k]) == report[k]
+            for k in ("epochs", "async", "wm", "tie_free", "n_folds",
+                      "per_class", "strength")
+        )
+        if same:
+            report["seeds"] = dict(prev.get("seeds", {}))
+            print(f"[merge] extending {ns.out} "
+                  f"({len(report['seeds'])} seeds already present)",
+                  flush=True)
+        else:
+            print(f"[merge] {ns.out} exists with a DIFFERENT config — "
+                  "starting fresh", flush=True)
     for seed in ns.seeds:
+        if str(seed) in report["seeds"] or seed in report["seeds"]:
+            print(f"[merge] seed {seed} already present, skipping", flush=True)
+            continue
         n = ns.n_folds * ns.per_class + 2
         streams, pd_ids, hc_ids = make_weargait_streams(
             n_pd=n, n_hc=n, t_frames=500, seed=seed, tie_free=ns.tie_free
