@@ -63,6 +63,14 @@ class StepSettings:
     # probability per batch (at least one stream always stays on) — the
     # train-time counterpart of the masked eval (BASELINE.json config 4)
     modality_dropout: float = 0.0
+    # rematerialisation policy for the forward pass inside the K cotangent
+    # pullbacks: "none" stores forward intermediates in HBM and re-reads
+    # them K times (one per per-task backward); "dots" (jax.checkpoint with
+    # dots_saveable) keeps only matmul outputs; "nothing" (nothing_saveable)
+    # recomputes the whole forward per pullback. The step is HBM-bound with
+    # ~80x FLOP headroom (RESULTS.md cost-model analysis), so recompute is
+    # nearly free — measured via scripts/bench_step.py --remat.
+    remat: str = "none"  # none | dots | nothing
 
 
 def make_apply_adapters(apply_fn, settings: "StepSettings"):
@@ -160,6 +168,14 @@ def make_multitask_loss_fn(
     """loss_fn(params, xs, ys, valid, ctx, rng, epoch) -> ((K,) losses, logits).
 
     train_apply(variables, xs, rng, epoch) -> logits tuple (one per head)."""
+    if settings.remat != "none":
+        policy = {
+            "dots": jax.checkpoint_policies.dots_saveable,
+            "nothing": jax.checkpoint_policies.nothing_saveable,
+        }[settings.remat]
+        train_apply = jax.checkpoint(
+            train_apply, policy=policy, static_argnums=()
+        )
 
     def loss_fn(params, xs, ys, valid, ctx, rng, epoch):
         if settings.modality_dropout > 0:

@@ -32,7 +32,8 @@ def _apply_fn(model, fused: bool):
 
 
 def build_step(batch_size: int, precision: str = "highest",
-               fused: bool = False, input_dtype: str = "float32"):
+               fused: bool = False, input_dtype: str = "float32",
+               remat: str = "none"):
     import jax
     import jax.numpy as jnp
 
@@ -59,7 +60,8 @@ def build_step(batch_size: int, precision: str = "highest",
 
     model = WearGaitThreeModal(synchronized=True)
     settings = StepSettings(
-        n_streams=3, wm="gcl", synchronized=True, private_grads="sum_plus_own"
+        n_streams=3, wm="gcl", synchronized=True,
+        private_grads="sum_plus_own", remat=remat,
     )
     ctx = make_loss_ctx(settings, [(5, 3)] * 3)
     tx = sgd_torch(1e-3)
@@ -74,7 +76,7 @@ def build_step(batch_size: int, precision: str = "highest",
 
 def build_step_foldvmap(n_folds: int, batch_size: int,
                         precision: str = "highest", fused: bool = False,
-                        input_dtype: str = "float32"):
+                        input_dtype: str = "float32", remat: str = "none"):
     """The vmapped-CV hot loop (gaitpd/train/vmap_cv.py): F independent fold
     states trained by ONE compiled step, fold axis stacked on top of the
     batch axis — effective batch F x B (VERDICT r2 item 4: the free
@@ -108,7 +110,8 @@ def build_step_foldvmap(n_folds: int, batch_size: int,
 
     model = WearGaitThreeModal(synchronized=True)
     settings = StepSettings(
-        n_streams=3, wm="gcl", synchronized=True, private_grads="sum_plus_own"
+        n_streams=3, wm="gcl", synchronized=True,
+        private_grads="sum_plus_own", remat=remat,
     )
     ctx = make_loss_ctx(settings, [(5, 3)] * 3)
     tx = sgd_torch(1e-3)
@@ -162,6 +165,12 @@ def main():
                     help="HBM dtype of the input windows (bfloat16 halves "
                          "the dominant bandwidth term of this tiny-channel "
                          "model; params/optimizer state stay f32)")
+    ap.add_argument("--remat", default="none",
+                    choices=["none", "dots", "nothing"],
+                    help="jax.checkpoint policy on the forward inside the 3 "
+                         "cotangent pullbacks (VERDICT r3 item 1: trade the "
+                         "~80x FLOP headroom for the dominant HBM traffic — "
+                         "backward-pass re-reads of forward intermediates)")
     ap.add_argument("--cost_analysis", action="store_true",
                     help="also print the XLA-compiled step's own cost model "
                          "(FLOPs + HBM bytes accessed) and the implied "
@@ -176,14 +185,14 @@ def main():
         if args.folds:
             step, state, batch, ctx, keys = build_step_foldvmap(
                 args.folds, b, args.precision, fused=args.fused,
-                input_dtype=args.input_dtype,
+                input_dtype=args.input_dtype, remat=args.remat,
             )
             fold_in = jax.vmap(jax.random.fold_in, in_axes=(0, None))
             windows_per_step = args.folds * b
         else:
             step, state, batch, ctx = build_step(
                 b, args.precision, fused=args.fused,
-                input_dtype=args.input_dtype,
+                input_dtype=args.input_dtype, remat=args.remat,
             )
             keys = jax.random.PRNGKey(0)
             fold_in = jax.random.fold_in
