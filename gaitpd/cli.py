@@ -98,8 +98,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "vmapped epoch scan (compiles once; with "
                         "--data_parallel the fold axis shards over devices)")
     p.add_argument("--vmap_hp", action="store_true",
-                   help="weargait flagship / fbg_fog (one concrete "
-                        "--modality): run an (lr x gcl_m x gcl_s x alpha) "
+                   help="weargait (flagship, --baseline or --single_mod) / "
+                        "fbg_fog (any --modality; all/both loop per-modality "
+                        "grids): run an (lr x gcl_m x gcl_s x alpha) "
                         "hyperparameter grid as ONE vmapped program over "
                         "(hp x fold) instances; prints the grid ranked by "
                         "the driver's CV selection metric "

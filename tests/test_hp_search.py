@@ -191,10 +191,57 @@ def test_fog_hp_vmap_mesh_matches_single_device():
         )
 
 
-def test_hp_vmap_rejects_baseline():
+def test_hp_vmap_baseline_defaults_row_matches_run_cv_vmapped():
+    """--baseline under --vmap_hp (r4: closes the VERDICT r3 item 7
+    refusal): the defaults row of a TACA grid reproduces the plain vmapped
+    baseline run (adapters + dropout rng + no CAGrad), and a near-zero lr
+    row diverges."""
     args = WearGaitArgs(baseline="taca", **KW)
-    with pytest.raises(ValueError):
-        run_weargait_hp_vmapped(args, [{"lr": 1e-3}])
+    base = run_cv_vmapped(args)
+    res = run_weargait_hp_vmapped(args, [{"lr": args.lr}, {"lr": 1e-9}])
+    rows = {r["hp"]["lr"]: r for r in res["table"]}
+    np.testing.assert_allclose(
+        rows[args.lr]["per_fold"], base["per_fold_macro"], atol=1e-6
+    )
+    assert rows[1e-9]["per_fold"] != rows[args.lr]["per_fold"]
+
+
+def test_hp_vmap_single_mod_defaults_row_matches_run_cv_vmapped():
+    """--single_mod under --vmap_hp (r4): the defaults row reproduces the
+    vmapped single-modality sub-driver exactly; an lr axis trains distinct
+    instances; an alpha axis still refuses (no CAGrad in single-mod)."""
+    args = WearGaitArgs(single_mod="insole", **KW)
+    base = run_cv_vmapped(args)
+    res = run_weargait_hp_vmapped(args, [{"lr": args.lr}, {"lr": 1e-9}])
+    rows = {r["hp"]["lr"]: r for r in res["table"]}
+    np.testing.assert_allclose(
+        rows[args.lr]["per_fold"], base["per_fold_macro"], atol=1e-6
+    )
+    assert rows[1e-9]["per_fold"] != rows[args.lr]["per_fold"]
+    with pytest.raises(ValueError, match="alpha"):
+        run_weargait_hp_vmapped(args, [{"alpha": 0.5}])
+
+
+def test_fog_hp_vmap_modality_both_runs_per_modality_grids():
+    """--modality both under --vmap_hp (r4): one ranked grid per concrete
+    modality, each equal to the directly-invoked single-modality grid."""
+    from gaitpd.train.fbg_fog_driver import FbgFogArgs
+    from gaitpd.train.hp_search import run_fbg_fog_hp_vmapped
+
+    kw = dict(
+        dataset="fog", wm="ce", synthetic=True, epochs=2, n_folds_cap=2,
+        verbose=False, seed=0,
+    )
+    grid = [{"lr": 1e-3}, {"lr": 3e-3}]
+    res = run_fbg_fog_hp_vmapped(FbgFogArgs(modality="both", **kw), grid)
+    assert set(res) == {"skeleton", "sensor"}
+    direct = run_fbg_fog_hp_vmapped(FbgFogArgs(modality="sensor", **kw), grid)
+    key = lambda r: tuple(sorted(r["hp"].items()))  # noqa: E731
+    direct_rows = {key(r): r for r in direct["table"]}
+    for r in res["sensor"]["table"]:
+        np.testing.assert_allclose(
+            r["per_fold"], direct_rows[key(r)]["per_fold"], atol=1e-6
+        )
 
 
 def test_hp_vmap_rejects_ignored_alpha_axis():
