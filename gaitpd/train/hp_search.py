@@ -383,6 +383,11 @@ def _weargait_single_mod_hp_vmapped(args, grid: List[Dict[str, float]]) -> dict:
         st, _ = init_train_state(model, tx_i, None, sample_xs, seed=args.seed)
         states_list.extend([st] * nf)
     states = jax.tree_util.tree_map(lambda *a: jnp.stack(a), *states_list)
+    # fresh SGD per epoch, mirroring the sub-driver (the reference
+    # re-creates its optimizer inside train_one_epoch_single,
+    # weargait_train.py:273-276); the host copy keeps each instance's
+    # injected lr and survives buffer donation
+    opt_state0 = jax.device_get(states.opt_state)
 
     tx = _inject_sgd(args.lr)
     runner = EpochRunner(apply_single, tx, settings, None, None)
@@ -411,7 +416,10 @@ def _weargait_single_mod_hp_vmapped(args, grid: List[Dict[str, float]]) -> dict:
         args.batch_size,
     )
     for ep in range(1, args.epochs + 1):
-        states = states.replace(epoch=jnp.full((f,), ep - 1, jnp.int32))
+        states = states.replace(
+            epoch=jnp.full((f,), ep - 1, jnp.int32),
+            opt_state=vrunner.shard_folds(jax.device_put(opt_state0)),
+        )
         train_pools = stacked.train_pools
         if async_mode:
             pools = [
@@ -438,7 +446,8 @@ def _weargait_single_mod_hp_vmapped(args, grid: List[Dict[str, float]]) -> dict:
             jnp.asarray(ep - 1, jnp.int32), jnp.ones((1,), bool),
         )
         ev = aggregate_folds(outs)
-        vas = ev["acc_batchmean"][:, 0]
+        # pooled accuracy (weargait_train.py:292-296), like the sub-driver
+        vas = ev["acc"][:, 0]
         for st, v in zip(stoppers, vas):
             if not st.stop:
                 st.update(float(v))

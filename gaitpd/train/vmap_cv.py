@@ -550,6 +550,10 @@ def _weargait_single_mod_vmapped(args):
     sample_xs = tuple(np.asarray(x[0, :2]) for x in
                       stack_folds(datas3).xs)
     states, _ = init_stacked_state(model, tx, None, sample_xs, [args.seed] * f)
+    # fresh SGD per epoch, mirroring the sequential sub-driver (the
+    # reference re-creates its optimizer inside train_one_epoch_single,
+    # weargait_train.py:273-276); host copy survives buffer donation
+    opt_state0 = jax.device_get(states.opt_state)
     mesh = args.mesh
     if mesh is not None and f % mesh.devices.size != 0:
         print(
@@ -594,7 +598,10 @@ def _weargait_single_mod_vmapped(args):
     )
 
     for ep in range(start_epoch, args.epochs + 1):
-        states = states.replace(epoch=jnp.full((f,), ep - 1, jnp.int32))
+        states = states.replace(
+            epoch=jnp.full((f,), ep - 1, jnp.int32),
+            opt_state=vrunner.shard_folds(jax.device_put(opt_state0)),
+        )
         train_pools = stacked.train_pools
         if async_mode:
             train_pools = [
@@ -619,7 +626,9 @@ def _weargait_single_mod_vmapped(args):
             jnp.asarray(ep - 1, jnp.int32), jnp.ones((1,), bool),
         )
         ev = aggregate_folds(outs)
-        vas = ev["acc_batchmean"][:, 0]
+        # pooled accuracy (weargait_train.py:292-296), like the sequential
+        # single-mod sub-driver
+        vas = ev["acc"][:, 0]
         for st, v in zip(stoppers, vas):
             if not st.stop:
                 st.update(float(v))

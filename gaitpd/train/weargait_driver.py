@@ -395,12 +395,20 @@ def run_single_mod_fold(fi: int, split: WG.WearGaitSplit, args: WearGaitArgs):
 
     state = TrainState(params=params, opt_state=tx.init(params), mtl_state={},
                        epoch=jnp.zeros((), jnp.int32))
+    # the reference constructs a FRESH SGD optimizer inside
+    # train_one_epoch_single (weargait_train.py:273-276) — momentum buffers
+    # reset at every epoch; keep the pristine opt state on host (the device
+    # copy is invalidated by the train step's buffer donation)
+    opt_state0 = jax.device_get(state.opt_state)
     runner = EpochRunner(apply_single, tx, settings, None, None, mesh=args.mesh)
     rng = np.random.default_rng(args.seed + 1000 * fi)
     key = jax.random.PRNGKey(args.seed + fi)
     stopper = EarlyStopper(patience=args.patience)
     for ep in range(1, args.epochs + 1):
-        state = state.replace(epoch=jnp.asarray(ep - 1, jnp.int32))
+        state = state.replace(
+            epoch=jnp.asarray(ep - 1, jnp.int32),
+            opt_state=jax.device_put(opt_state0),
+        )
         if async_mode:
             data.train_pool = WG.async_pool(
                 split.train, np.random.default_rng(args.seed + ep)
@@ -409,7 +417,10 @@ def run_single_mod_fold(fi: int, split: WG.WearGaitSplit, args: WearGaitArgs):
         key, k_tr, k_ev = jax.random.split(key, 3)
         state, tr = run_train_epoch(runner, state, data, order, args.batch_size, k_tr, ctx)
         ev = run_eval_epoch(runner, state, data, args.batch_size, k_ev, ctx)
-        va = float(ev.acc_batchmean[0])
+        # pooled accuracy: the single-mod sub-loops divide total correct by
+        # total samples (weargait_train.py:292-296), unlike the 3-stream
+        # driver's per-batch means
+        va = float(ev.acc[0])
         stopper.update(va)
         if args.verbose:
             print(

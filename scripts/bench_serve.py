@@ -86,11 +86,63 @@ def bench_throughput(engine, n_sessions: int, rounds: int = 8):
     }))
 
 
+def bench_ondevice(engine, batch: int, reps: int = 50):
+    """What the serving predict costs ON THE CHIP, separated from the relay
+    round-trip (VERDICT r3 item 10): one dispatch runs a lax.scan of `reps`
+    dependency-chained predicts (each iteration's inputs are perturbed by
+    0 x the previous probabilities, which serialises the chain without
+    changing the numbers), then a device->host copy of a scalar closes the
+    timing. The end-to-end numbers elsewhere in this script include the
+    ~30 ms tunnel round-trip per dispatch; this one amortises it 1/reps."""
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    xs = tuple(
+        jnp.asarray(rng.normal(size=(batch, 64, c)), jnp.float32)
+        for c in (2, 13, 24)
+    )
+    mask = jnp.asarray([True, True, True])
+    model = engine.model
+
+    @jax.jit
+    def chained(params, xw, xi, xm, mask):
+        def body(carry, _):
+            cw, ci, cm = carry
+            lgs = model.apply(params, cw, ci, cm)
+            probs = jnp.stack([jax.nn.softmax(lg, -1) for lg in lgs])
+            mk = mask.astype(probs.dtype)[:, None, None]
+            p = jnp.sum(probs * mk, 0) / jnp.maximum(jnp.sum(mk), 1.0)
+            eps = jnp.sum(p) * 0.0
+            return (cw + eps, ci + eps, cm + eps), ()
+        (cw, _, _), _ = jax.lax.scan(body, (xw, xi, xm), None, length=reps)
+        return jnp.sum(cw[..., 0])
+
+    out = chained(engine.params, *xs, mask)  # compile + warm
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    out = chained(engine.params, *xs, mask)
+    float(out)  # device->host copy closes the dependency chain
+    dt = time.perf_counter() - t0
+    per_predict_ms = dt / reps * 1e3
+    print(json.dumps({
+        "mode": "ondevice",
+        "batch": batch,
+        "chained_reps": reps,
+        "ondevice_predict_ms": round(per_predict_ms, 4),
+        "ondevice_windows_per_s": round(batch / (per_predict_ms / 1e3), 1),
+    }))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--reps", type=int, default=200)
     ap.add_argument("--throughput", type=int, default=0, metavar="N_SESSIONS",
                     help="run throughput mode with N concurrent sessions")
+    ap.add_argument("--ondevice", action="store_true",
+                    help="time the batched predict on-chip via a "
+                         "dependency-chained scan (excludes the relay "
+                         "round-trip that dominates the e2e numbers)")
     args = ap.parse_args()
 
     import jax
@@ -109,6 +161,10 @@ def main():
     print(f"platform: {jax.devices()[0].platform}")
     if args.throughput:
         bench_throughput(engine, args.throughput)
+        return
+    if args.ondevice:
+        for batch in (64, 1024, 8192):
+            bench_ondevice(engine, batch)
         return
     for batch in (1, 64, 1024):
         windows = {

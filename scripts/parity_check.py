@@ -42,6 +42,11 @@ import numpy as np  # noqa: E402
 CONFIGS = {
     "sensor_ce": dict(dataset="fog", modality="sensor", wm="ce", sync=False,
                       alpha=0.0, cos=False, drw=0),
+    # the skeleton-only modality (reference utilities.py:35-71 chooses the
+    # SkeletonMLP single-branch model); the last single-modality sub-driver
+    # without a training-parity row (VERDICT r3 item 4)
+    "skeleton_ce": dict(dataset="fog", modality="skeleton", wm="ce",
+                        sync=False, alpha=0.0, cos=False, drw=0),
     "multimodal_ce_cagrad": dict(dataset="fog", modality="multimodal",
                                  wm="ce", sync=False, alpha=0.1, cos=False,
                                  drw=0),

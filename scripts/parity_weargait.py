@@ -72,12 +72,13 @@ def materialize_reference_layout(streams, pd_ids, hc_ids, root: Path):
     return out, pd_dir, hc_dir
 
 
-def ref_args(seed, epochs, n_folds, per_class, async_loading, wm):
+def ref_args(seed, epochs, n_folds, per_class, async_loading, wm,
+             single_mod=None):
     return types.SimpleNamespace(
         n_folds=n_folds, test_per_class=per_class, win_len=64, hop_len=64,
         batch_size=64, num_workers=0, epochs=epochs, patience=50,
         num_classes=2, lr=1e-3, seed=seed, async_loading=async_loading,
-        single_mod=None, proj_ch=16, enc_out_ch=12, backbone_dim=8,
+        single_mod=single_mod, proj_ch=16, enc_out_ch=12, backbone_dim=8,
         shared_out_ch=16, use_norm=False, use_cosine=False, baseline=None,
         wm=wm, gcl_m=0.2, gcl_s=25.0, noise_mul=0.0, drw_warmup=0,
         alpha=0.5,
@@ -85,7 +86,8 @@ def ref_args(seed, epochs, n_folds, per_class, async_loading, wm):
 
 
 def run_reference(streams, pd_ids, hc_ids, seed, epochs, n_folds, per_class,
-                  async_loading, workdir: Path, wm="class_wt"):
+                  async_loading, workdir: Path, wm="class_wt",
+                  single_mod=None):
     sys.path.insert(0, str(REF / "train"))
     sys.path.insert(0, str(REF))
     sys.path.insert(0, str(REF / "data" / "WearGait"))
@@ -126,7 +128,8 @@ def run_reference(streams, pd_ids, hc_ids, seed, epochs, n_folds, per_class,
     import io
     from contextlib import redirect_stdout
 
-    args = ref_args(seed, epochs, n_folds, per_class, async_loading, wm)
+    args = ref_args(seed, epochs, n_folds, per_class, async_loading, wm,
+                    single_mod=single_mod)
     buf = io.StringIO()
     with redirect_stdout(buf):
         wt.run_cv(args)
@@ -147,7 +150,7 @@ def run_reference(streams, pd_ids, hc_ids, seed, epochs, n_folds, per_class,
 
 
 def run_gaitpd(streams, pd_ids, hc_ids, seed, epochs, n_folds, per_class,
-               async_loading, wm="class_wt"):
+               async_loading, wm="class_wt", single_mod=None):
     import gaitpd.train.weargait_driver as wd
     from gaitpd.train.weargait_driver import WearGaitArgs, run_cv
 
@@ -158,6 +161,7 @@ def run_gaitpd(streams, pd_ids, hc_ids, seed, epochs, n_folds, per_class,
             n_folds=n_folds, test_per_class=per_class, epochs=epochs,
             patience=50, wm=wm, alpha=0.5, seed=seed,
             async_loading=async_loading, verbose=False,
+            single_mod=single_mod,
         ))
     finally:
         wd.get_streams = orig
@@ -173,6 +177,13 @@ def main():
     p.add_argument("--async_loading", action="store_true")
     p.add_argument("--strength", type=float, default=0.5)
     p.add_argument("--wm", default="class_wt", choices=["class_wt", "ce", "gcl"])
+    p.add_argument("--single_mod", default=None,
+                   choices=["walkway", "insole", "imu"],
+                   help="race the single-modality sub-drivers (reference "
+                        "weargait_train.py:250-297,579-588: CE-only, pooled "
+                        "accuracy, fresh per-epoch SGD); use --wm ce so the "
+                        "reference's criterions[0] (the walkway branch's "
+                        "class weights) matches the trained modality")
     p.add_argument("--tie_free", action="store_true",
                    help="PD/HC stream lengths from disjoint ranges so "
                         "per-class train window counts never tie (the "
@@ -184,7 +195,8 @@ def main():
 
     report = {"epochs": ns.epochs, "async": ns.async_loading, "wm": ns.wm,
               "tie_free": ns.tie_free, "n_folds": ns.n_folds,
-              "per_class": ns.per_class, "strength": ns.strength, "seeds": {}}
+              "per_class": ns.per_class, "strength": ns.strength,
+              "single_mod": ns.single_mod, "seeds": {}}
     # seed-merge mode (r4): extend an existing report with new seeds instead
     # of rerunning everything in one invocation. Seeds are keyed per-seed so
     # the merge is exact; config fields must match (fields absent from a
@@ -196,7 +208,7 @@ def main():
         same = all(
             prev.get(k, report[k]) == report[k]
             for k in ("epochs", "async", "wm", "tie_free", "n_folds",
-                      "per_class", "strength")
+                      "per_class", "strength", "single_mod")
         )
         if same:
             report["seeds"] = dict(prev.get("seeds", {}))
@@ -216,12 +228,13 @@ def main():
         )
         print(f"=== seed {seed}: gaitpd ===", flush=True)
         ours = run_gaitpd(streams, pd_ids, hc_ids, seed, ns.epochs,
-                          ns.n_folds, ns.per_class, ns.async_loading, ns.wm)
+                          ns.n_folds, ns.per_class, ns.async_loading, ns.wm,
+                          single_mod=ns.single_mod)
         print(f"=== seed {seed}: torch reference ===", flush=True)
         with tempfile.TemporaryDirectory() as td:
             ref = run_reference(streams, pd_ids, hc_ids, seed, ns.epochs,
                                 ns.n_folds, ns.per_class, ns.async_loading,
-                                Path(td), ns.wm)
+                                Path(td), ns.wm, single_mod=ns.single_mod)
         report["seeds"][seed] = {
             "gaitpd_macro": ours["macro"][0],
             "reference_macro": ref["macro"],
