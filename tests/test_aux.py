@@ -107,6 +107,45 @@ def test_every_mtl_method_one_step(name):
     assert np.all(np.isfinite(np.asarray(metrics2["losses"])))
 
 
+@pytest.mark.parametrize("remat", ["dots", "nothing"])
+def test_remat_step_matches_no_remat(remat):
+    """StepSettings.remat only changes the backward-pass schedule
+    (jax.checkpoint around the per-stream forward inside the K cotangent
+    pullbacks) — the one-step parameter update must be numerically
+    equivalent to the default store-everything schedule. The perf outcome
+    (remat is SLOWER on v5e — it re-reads the dominant input arrays K
+    times) is documented in RESULTS.md round-4."""
+    from gaitpd.learning.mtl import make_method
+    from gaitpd.models.multitask import WearGaitThreeModal
+    from gaitpd.train.loop import init_train_state
+    from gaitpd.train.optim import sgd_torch
+    from gaitpd.train.step import StepSettings, make_apply_adapters, make_loss_ctx, make_train_step
+
+    model = WearGaitThreeModal(synchronized=True, enc_out_ch=4, shared_out_ch=4)
+    xs = tuple(jnp.asarray(np.random.default_rng(1).normal(size=(8, 16, c)), jnp.float32)
+               for c in (2, 13, 24))
+    ys = tuple(jnp.asarray(np.arange(8) % 2, jnp.int32) for _ in range(3))
+    batch = {"xs": xs, "ys": ys, "valid": jnp.ones((8,), jnp.float32)}
+
+    results = []
+    for mode in ("none", remat):
+        tx = sgd_torch(1e-2)
+        mtl = make_method("cagrad", 3)
+        state, partition = init_train_state(model, tx, mtl, xs, seed=0)
+        settings = StepSettings(n_streams=3, wm="gcl", synchronized=True,
+                                remat=mode)
+        ctx = make_loss_ctx(settings, [(5, 3)] * 3)
+        ta, _ = make_apply_adapters(model.apply, settings)
+        step = jax.jit(make_train_step(ta, tx, settings, mtl, partition))
+        new_state, metrics = step(state, batch, jax.random.PRNGKey(0), ctx)
+        results.append((jax.tree_util.tree_leaves(new_state.params),
+                        np.asarray(metrics["losses"])))
+    np.testing.assert_allclose(results[0][1], results[1][1], atol=1e-6)
+    for a, b in zip(results[0][0], results[1][0]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-6, rtol=1e-5)
+
+
 def test_step_timer():
     from gaitpd.runtime.profiling import StepTimer
 
