@@ -72,6 +72,17 @@ CONFIGS = {
     "multimodal_gcl_nocagrad": dict(dataset="fog", modality="multimodal",
                                     wm="gcl", sync=False, alpha=0.0,
                                     cos=True, drw=0),
+    # the namesake "Gaussian cloud" perturbation ACTIVE (noise_mul=0.5):
+    # half-normal noise scaled by per-class margins perturbs the cosine
+    # logits every training step (classification_losses.py:101-104). Both
+    # frameworks default this OFF (fbg_fog_train.py:458); this row shows
+    # they train comparably with the cloud on. The noise draws cannot pair
+    # across frameworks (torch RNG vs JAX PRNG), so the comparison is
+    # distributional — expect a wider CI than the noise-free flagship.
+    "multimodal_gcl_noise05_cagrad": dict(dataset="fog",
+                                          modality="multimodal", wm="gcl",
+                                          sync=False, alpha=0.1, cos=True,
+                                          drw=0, noise=0.5),
     # deferred re-weighting mid-run (exercises the DRW swap at epoch 10)
     "multimodal_gcl_drw10_cagrad": dict(dataset="fog", modality="multimodal",
                                         wm="gcl", sync=False, alpha=0.1,
@@ -148,7 +159,7 @@ def run_reference(config: str, epochs: int, seed: int, strength: float = 1.0):
         ldam_m=0.5,
         gcl_m=0.2,
         gcl_s=25.0,
-        noise_mul=0.0,
+        noise_mul=cfg.get("noise", 0.0),
         drw_warmup=cfg["drw"],
         use_norm_and_cos=cfg["cos"],
         save_loss_plots=False,
@@ -187,6 +198,7 @@ def run_gaitpd(config: str, epochs: int, seed: int, strength: float = 1.0):
         alpha=cfg["alpha"],
         use_norm_and_cos=cfg["cos"],
         drw_warmup=cfg["drw"],
+        noise_mul=cfg.get("noise", 0.0),
         epochs=epochs,
         synthetic=True,
         synthetic_strength=strength,
