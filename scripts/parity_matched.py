@@ -53,7 +53,13 @@ def _transplant(ref_model, variables):
     import torch
 
     def t_(x):
-        return torch.from_numpy(np.asarray(x))
+        # MUST copy: torch.from_numpy(np.asarray(jax_array)) aliases the jax
+        # buffer for leaves loaded without .contiguous() (biases, LN params),
+        # and the torch optimizer then mutates the flax init IN PLACE during
+        # the native reference run — silently warm-starting the gaitpd side
+        # with torch-trained values (this bug produced a spurious +3.8
+        # "matched" gap in round 4 before being caught).
+        return torch.from_numpy(np.asarray(x).copy())
 
     def load_linear(mod, p):
         d = p["Dense_0"]
@@ -116,7 +122,7 @@ class RecordingLoader:
             yield batch
 
 
-def run_reference_instrumented(reader, seed, epochs, folds):
+def run_reference_instrumented(reader, seed, epochs, folds, alpha=0.1):
     """Run the reference's train_one_fold natively per fold with transplanted
     init + recording loaders. Returns per-fold (best_avg, recorded streams,
     init variables)."""
@@ -147,7 +153,7 @@ def run_reference_instrumented(reader, seed, epochs, folds):
 
     args = types.SimpleNamespace(
         dataset="fog", modality="multimodal", consistency_lambda=1.0,
-        wm="gcl", synchronized_loading=False, alpha=0.1, max_norm=1.0,
+        wm="gcl", synchronized_loading=False, alpha=alpha, max_norm=1.0,
         ldam_s=30.0, ldam_m=0.5, gcl_m=0.2, gcl_s=25.0, noise_mul=0.0,
         drw_warmup=0, use_norm_and_cos=True, save_loss_plots=False,
         seed=seed,
@@ -216,7 +222,7 @@ def run_reference_instrumented(reader, seed, epochs, folds):
 # gaitpd side: step-level training on the recorded stream
 # --------------------------------------------------------------------------
 
-def run_gaitpd_on_stream(fold_rec, epochs):
+def run_gaitpd_on_stream(fold_rec, epochs, alpha=0.1):
     import jax
     import jax.numpy as jnp
 
@@ -281,14 +287,17 @@ def run_gaitpd_on_stream(fold_rec, epochs):
     )
     ctx = make_loss_ctx(settings, [sk_counts, se_counts])
     tx = sgd_torch(1e-3, 0.9, 1e-4)
-    mtl = make_method("cagrad", 2, c=0.1, max_norm=1.0)
-    bound = model.bind(variables)
-    partition = build_flat_partition(
-        variables, bound.shared_modules, bound.task_modules
-    )
+    mtl = partition = None
+    if alpha > 0:
+        mtl = make_method("cagrad", 2, c=alpha, max_norm=1.0)
+        bound = model.bind(variables)
+        partition = build_flat_partition(
+            variables, bound.shared_modules, bound.task_modules
+        )
     state = TrainState(
         params=variables, opt_state=tx.init(variables),
-        mtl_state=mtl.init_state(), epoch=jnp.zeros((), jnp.int32),
+        mtl_state=mtl.init_state() if mtl is not None else {},
+        epoch=jnp.zeros((), jnp.int32),
     )
     train_apply, eval_apply = make_apply_adapters(model.apply, settings)
     step = jax.jit(make_train_step(train_apply, tx, settings, mtl, partition))
@@ -329,6 +338,10 @@ def main():
     p.add_argument("--epochs", type=int, default=25)
     p.add_argument("--seeds", nargs="+", type=int, default=list(range(8)))
     p.add_argument("--strength", type=float, default=0.6)
+    p.add_argument("--alpha", type=float, default=0.1,
+                   help="CAGrad c; 0 disables CAGrad on BOTH sides (mean of "
+                        "branch losses) — isolates the in-graph-QP-vs-scipy "
+                        "difference from the rest of the matched step")
     p.add_argument("--out", default="parity_matched_report.json")
     ns = p.parse_args()
 
@@ -340,12 +353,15 @@ def main():
     from parity_check import paired_stats
 
     report = {"epochs": ns.epochs, "strength": ns.strength,
+              "alpha": ns.alpha,
               "config": "multimodal_gcl_cagrad matched-init matched-order",
               "seeds": {}}
     out_path = Path(ns.out)
     if out_path.exists():
         prev = json.loads(out_path.read_text())
-        if prev.get("epochs") == ns.epochs and prev.get("strength") == ns.strength:
+        if (prev.get("epochs") == ns.epochs
+                and prev.get("strength") == ns.strength
+                and prev.get("alpha", 0.1) == ns.alpha):
             report["seeds"] = dict(prev.get("seeds", {}))
             print(f"[merge] {len(report['seeds'])} seeds present", flush=True)
 
@@ -357,11 +373,12 @@ def main():
         folds = ref_utils.generate_class_stratified_folds(reader, "fog")
         print(f"=== seed {seed}: reference (instrumented, {len(folds)} folds) ===",
               flush=True)
-        ref_folds = run_reference_instrumented(reader, seed, ns.epochs, folds)
+        ref_folds = run_reference_instrumented(reader, seed, ns.epochs, folds,
+                                               alpha=ns.alpha)
         print(f"=== seed {seed}: gaitpd on the recorded stream ===", flush=True)
         ours, refs = [], []
         for fr in ref_folds:
-            ours.append(run_gaitpd_on_stream(fr, ns.epochs))
+            ours.append(run_gaitpd_on_stream(fr, ns.epochs, alpha=ns.alpha))
             refs.append(fr["best_avg"])
         report["seeds"][str(seed)] = {
             "gaitpd_folds": ours, "reference_folds": refs,

@@ -29,7 +29,11 @@ RNG = np.random.default_rng(0)
 
 
 def t_(x):
-    return torch.from_numpy(np.asarray(x))
+    # copy: torch.from_numpy would alias the jax buffer for non-contiguous-
+    # free loads (biases, LN params); an in-place torch optimizer step would
+    # then silently mutate the flax variables (bit the matched-parity
+    # harness in round 4 — see scripts/parity_matched.py::_transplant)
+    return torch.from_numpy(np.asarray(x).copy())
 
 
 def load_linear(mod, p):  # flax TorchLinear -> torch nn.Linear

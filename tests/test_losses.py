@@ -20,7 +20,8 @@ COUNTS = [30, 12, 4]
 
 
 def tt(x):
-    return torch.from_numpy(np.asarray(x))
+    # .copy() so torch never aliases (and could never mutate) the jax buffer
+    return torch.from_numpy(np.asarray(x).copy())
 
 
 def test_cross_entropy_plain():
