@@ -127,6 +127,41 @@ def test_weargait_three_modal_forward_parity():
         np.testing.assert_allclose(np.asarray(a), b.numpy(), rtol=1e-4, atol=1e-5)
 
 
+def test_weargait_three_modal_sync_forward_parity():
+    """synchronized=True: ONE shared head on both sides (reference
+    weargait_encoders.py:133-136 aliases head_w/head_i/head_m to
+    _shared_head; gaitpd names it head_shared). This is the transplant
+    recipe scripts/parity_weargait_matched.py relies on."""
+    from weargait_encoders import WearGaitThreeModal as RefModel
+
+    from gaitpd.models.multitask import WearGaitThreeModal
+
+    ours = WearGaitThreeModal(synchronized=True)
+    xw = jnp.asarray(RNG.normal(size=(4, 64, 2)), jnp.float32)
+    xi = jnp.asarray(RNG.normal(size=(4, 64, 13)), jnp.float32)
+    xm = jnp.asarray(RNG.normal(size=(4, 64, 24)), jnp.float32)
+    variables = ours.init(jax.random.PRNGKey(3), xw, xi, xm)
+    ours_out = ours.apply(variables, xw, xi, xm)
+
+    ref = RefModel(synchronized=True).eval()
+    p = variables["params"]
+    load_conv(ref.enc_w.conv, p["enc_w"]["Conv1dSame_0"])
+    load_ln(ref.enc_w.ln, p["enc_w"]["LayerNorm_0"])
+    load_conv(ref.enc_i.conv1, p["enc_i"]["Conv1dSame_0"])
+    load_conv(ref.enc_i.conv2, p["enc_i"]["Conv1dSame_1"])
+    load_conv(ref.enc_i.skip, p["enc_i"]["Conv1dSame_2"])
+    load_ln(ref.enc_i.ln2, p["enc_i"]["LayerNorm_0"])
+    load_conv(ref.enc_m.conv, p["enc_m"]["Conv1dSame_0"])
+    load_ln(ref.enc_m.ln, p["enc_m"]["LayerNorm_0"])
+    load_conv(ref.backbone.conv, p["backbone"]["Conv1dSame_0"])
+    load_linear(ref._shared_head.fc, p["head_shared"]["TorchLinear_0"])
+
+    with torch.no_grad():
+        ref_out = ref(t_(xw), t_(xi), t_(xm))
+    for a, b in zip(ours_out, ref_out):
+        np.testing.assert_allclose(np.asarray(a), b.numpy(), rtol=1e-4, atol=1e-5)
+
+
 def test_cheap_xattn_model_forward_parity():
     from feature_encoder import CheapXAttnModel as RefModel
 
