@@ -46,6 +46,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--batch_size", type=int, default=None)
     p.add_argument("--synthetic", action="store_true",
                    help="use synthetic readers/streams (no raw data needed)")
+    p.add_argument("--synthetic_pose_per_joint", action="store_true",
+                   help="per-class per-joint gains on the synthetic pose "
+                        "signal so it survives root-joint centering "
+                        "(fbg_fog only; see gaitpd/data/synthetic.py)")
     p.add_argument("--n_folds_cap", type=int, default=None)
     p.add_argument("--quiet", action="store_true")
     # WearGait-specific (reference weargait_train.py:648-691)
@@ -139,6 +143,7 @@ def run_fbg_fog(ns: argparse.Namespace):
         epochs=ns.epochs,
         batch_size=ns.batch_size,
         synthetic=ns.synthetic,
+        synthetic_pose_per_joint=ns.synthetic_pose_per_joint,
         n_folds_cap=ns.n_folds_cap,
         verbose=not ns.quiet,
         mtl_method=ns.mtl_method,

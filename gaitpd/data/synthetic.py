@@ -26,11 +26,32 @@ from typing import Dict, List, Optional, Tuple
 import numpy as np
 
 
-def _signal(rng, t: int, c: int, label: int, strength: float = 1.0) -> np.ndarray:
+def _signal(
+    rng, t: int, c: int, label: int, strength: float = 1.0,
+    per_channel: bool = False,
+) -> np.ndarray:
+    """per_channel=False (default): the class wave/offset is COMMON-MODE
+    across channels. For pose streams this means the reference's own
+    preprocessing deletes it: center_poses subtracts the root joint per
+    frame (dataloader_fbg_fog.py:93-99), and a signal identical on every
+    joint cancels exactly — skeleton branches then train on pure noise
+    (measured: skeleton-only accuracies are bit-invariant to `strength`).
+    per_channel=True applies a CLASS-DETERMINISTIC per-channel gain pattern
+    so the class signal SURVIVES root-joint centering (relative inter-joint
+    differences remain) AND generalizes across segments/subjects (a
+    per-segment random pattern would not). The pattern comes from its own
+    seeded rng, so the main stream's draws are identical with the flag on
+    or off — default False keeps every committed parity artifact
+    bit-reproducible."""
     base = rng.normal(0.0, 1.0, size=(t, c)).astype(np.float32)
     phase = rng.uniform(0, 2 * np.pi)
     freq = 0.05 * (1 + label)
     wave = np.sin(2 * np.pi * freq * np.arange(t) + phase)[:, None]
+    if per_channel:
+        amp = np.random.default_rng(9700 + label).uniform(
+            0.5, 1.5, size=(1, c)
+        ).astype(np.float32)
+        return base + strength * amp * (wave + 0.5 * label)
     return base + strength * (wave + 0.5 * label)
 
 
@@ -54,12 +75,15 @@ def make_fog_reader(
     seed: int = 0,
     strength: float = 1.0,
     class_skew: bool = True,
+    pose_per_joint: bool = False,
 ) -> SyntheticFoGReader:
     """class_skew gives lower classes more segments per subject (like the real
     datasets' class imbalance). This matters for parity checks: the
     reference's GCLLoss divides by m_list.max() unguarded
     (classification_losses.py:104) and NaNs out on EXACTLY balanced class
-    counts, so balanced synthetic data silently breaks its wm=gcl path."""
+    counts, so balanced synthetic data silently breaks its wm=gcl path.
+    pose_per_joint gives the pose class signal per-joint gains so it
+    survives the reference's root-joint centering (see _signal)."""
     rng = np.random.default_rng(seed)
     pose_dict, sensor_dict, labels = {}, {}, {}
     for s in range(n_subjects):
@@ -68,7 +92,8 @@ def make_fog_reader(
         n_seg = segments + (n_classes - 1 - label if class_skew else 0)
         labels[sid] = [label] * n_seg
         for i in range(n_seg):
-            pose = _signal(rng, pose_t, 21, label, strength).reshape(pose_t, 7, 3)
+            pose = _signal(rng, pose_t, 21, label, strength,
+                           per_channel=pose_per_joint).reshape(pose_t, 7, 3)
             pose_dict[f"{sid}_{i}"] = pose
             sensor_dict[f"{sid}_{i}"] = _signal(rng, sensor_t, 6, label, strength)
     return SyntheticFoGReader(pose_dict, sensor_dict, labels, sensor_length=sensor_t)

@@ -61,6 +61,11 @@ class FbgFogArgs:
     batch_size: Optional[int] = None
     synthetic: bool = False  # use synthetic readers (no raw data needed)
     synthetic_strength: float = 1.0  # class-signal strength of the synthetic readers
+    # per-joint gains on the synthetic pose signal so it survives the
+    # root-joint centering (center_poses, reference dataloader_fbg_fog.py:
+    # 93-99); without this the pose class signal is common-mode across
+    # joints and centering deletes it (skeleton branches train on noise)
+    synthetic_pose_per_joint: bool = False
     n_folds_cap: Optional[int] = None
     verbose: bool = True
     mesh: object = None
@@ -310,7 +315,8 @@ def get_reader(args: FbgFogArgs):
                 seed=args.seed, strength=args.synthetic_strength
             )
         return synthetic.make_fog_reader(
-            seed=args.seed, strength=args.synthetic_strength
+            seed=args.seed, strength=args.synthetic_strength,
+            pose_per_joint=args.synthetic_pose_per_joint,
         )
     from gaitpd.data.cache import load_reader
 

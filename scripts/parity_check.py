@@ -47,6 +47,16 @@ CONFIGS = {
     # without a training-parity row (VERDICT r3 item 4)
     "skeleton_ce": dict(dataset="fog", modality="skeleton", wm="ce",
                         sync=False, alpha=0.0, cos=False, drw=0),
+    # skeleton-only CE with a pose signal that SURVIVES the reference's
+    # root-joint centering (center_poses, dataloader_fbg_fog.py:93-99): the
+    # default synthetic pose wave is common-mode across joints, so centering
+    # deletes it and BOTH frameworks train the skeleton branch on pure noise
+    # (measured: the skeleton_ce row is bit-invariant to --strength). This
+    # row draws per-joint gains (pose_per_joint) so the skeleton model is
+    # actually discriminative.
+    "skeleton_ce_joint": dict(dataset="fog", modality="skeleton", wm="ce",
+                              sync=False, alpha=0.0, cos=False, drw=0,
+                              pose_sig=True),
     "multimodal_ce_cagrad": dict(dataset="fog", modality="multimodal",
                                  wm="ce", sync=False, alpha=0.1, cos=False,
                                  drw=0),
@@ -109,12 +119,14 @@ DEFAULT_CONFIGS = [
 ]
 
 
-def _make_reader(dataset: str, seed: int, strength: float):
+def _make_reader(dataset: str, seed: int, strength: float,
+                 pose_per_joint: bool = False):
     from gaitpd.data.synthetic import make_fbg_reader, make_fog_reader
 
     if dataset == "fbg":
         return make_fbg_reader(seed=seed, strength=strength)
-    return make_fog_reader(seed=seed, strength=strength)
+    return make_fog_reader(seed=seed, strength=strength,
+                           pose_per_joint=pose_per_joint)
 
 
 def run_reference(config: str, epochs: int, seed: int, strength: float = 1.0):
@@ -133,7 +145,8 @@ def run_reference(config: str, epochs: int, seed: int, strength: float = 1.0):
     from data_processing import dataloader_fbg_fog as ref_loader  # noqa: E402
 
     cfg = CONFIGS[config]
-    reader = _make_reader(cfg["dataset"], seed, strength)
+    reader = _make_reader(cfg["dataset"], seed, strength,
+                          pose_per_joint=cfg.get("pose_sig", False))
 
     # single-core box: force num_workers=0 in the reference loader factory
     orig = ref_loader.create_fusion_loaders
@@ -202,6 +215,7 @@ def run_gaitpd(config: str, epochs: int, seed: int, strength: float = 1.0):
         epochs=epochs,
         synthetic=True,
         synthetic_strength=strength,
+        synthetic_pose_per_joint=cfg.get("pose_sig", False),
         seed=seed,
         verbose=False,
     )

@@ -122,7 +122,73 @@ class RecordingLoader:
             yield batch
 
 
-def run_reference_instrumented(reader, seed, epochs, folds, alpha=0.1):
+def _transplant_skel(ref_model, variables):
+    """flax SkelModalityModel -> reference SkelModalityModel
+    (feature_encoder.py:308-344: encoder fc1+ln1, shared backbone conv,
+    TaskHead LayerNorm+Linear)."""
+    import torch
+
+    def t_(x):
+        return torch.from_numpy(np.asarray(x).copy())
+
+    p = variables["params"]
+    d = p["encoder"]["TorchLinear_0"]["Dense_0"]
+    ref_model.encoder.fc1.weight.data = t_(d["kernel"]).T.contiguous()
+    ref_model.encoder.fc1.bias.data = t_(d["bias"])
+    ln = p["encoder"]["LayerNorm_0"]
+    ref_model.encoder.ln1.weight.data = t_(ln["scale"])
+    ref_model.encoder.ln1.bias.data = t_(ln["bias"])
+    c = p["backbone"]["Conv1dSame_0"]["Conv_0"]
+    ref_model.backbone.conv1d.weight.data = t_(c["kernel"]).permute(2, 1, 0).contiguous()
+    ref_model.backbone.conv1d.bias.data = t_(c["bias"])
+    hn = p["task_head"]["LayerNorm_0"]
+    ref_model.task_head.norm.weight.data = t_(hn["scale"])
+    ref_model.task_head.norm.bias.data = t_(hn["bias"])
+    hd = p["task_head"]["TorchLinear_0"]["Dense_0"]
+    ref_model.task_head.fc.weight.data = t_(hd["kernel"]).T.contiguous()
+    ref_model.task_head.fc.bias.data = t_(hd["bias"])
+    return ref_model
+
+
+def _init_gaitpd_model(modality, dims, seed, fold_idx):
+    import jax
+    import jax.numpy as jnp
+
+    from gaitpd.models.multitask import MultiModalMultiTask, SkelModalityModel
+
+    key = jax.random.PRNGKey(seed + 7919 * fold_idx)
+    if modality == "skeleton":
+        fmodel = SkelModalityModel(
+            skeleton_output_dim=dims.skeleton_output_dim,
+            shared_out_channels=dims.shared_out_channels,
+            backbone_dim=dims.backbone_dim,
+            num_classes=dims.num_classes,
+        )
+        variables = fmodel.init(
+            key, jnp.zeros((2, dims.pose_length, 21), jnp.float32)
+        )
+        return fmodel, variables
+    fmodel = MultiModalMultiTask(
+        skeleton_output_dim=dims.skeleton_output_dim,
+        sensor_out_channels=dims.sensor_out_channels,
+        sensor_length=dims.sensor_length,
+        pose_length=dims.pose_length,
+        shared_out_channels=dims.shared_out_channels,
+        backbone_dim=dims.backbone_dim,
+        num_classes=dims.num_classes,
+        use_norm=True, use_cosine=True,
+        synchronized_loading=False,
+    )
+    variables = fmodel.init(
+        key,
+        jnp.zeros((2, dims.pose_length, 21), jnp.float32),
+        jnp.zeros((2, dims.sensor_length, dims.sensor_out_channels), jnp.float32),
+    )
+    return fmodel, variables
+
+
+def run_reference_instrumented(reader, seed, epochs, folds, alpha=0.1,
+                               modality="multimodal", wm="gcl"):
     """Run the reference's train_one_fold natively per fold with transplanted
     init + recording loaders. Returns per-fold (best_avg, recorded streams,
     init variables)."""
@@ -144,18 +210,16 @@ def run_reference_instrumented(reader, seed, epochs, folds, alpha=0.1):
 
     import types
 
-    import jax
-
     from gaitpd.config import FBG_FOG_DIMS
-    from gaitpd.models.multitask import MultiModalMultiTask
 
     dims = FBG_FOG_DIMS["fog"]
 
+    cos = modality == "multimodal" and wm == "gcl"
     args = types.SimpleNamespace(
-        dataset="fog", modality="multimodal", consistency_lambda=1.0,
-        wm="gcl", synchronized_loading=False, alpha=alpha, max_norm=1.0,
+        dataset="fog", modality=modality, consistency_lambda=1.0,
+        wm=wm, synchronized_loading=False, alpha=alpha, max_norm=1.0,
         ldam_s=30.0, ldam_m=0.5, gcl_m=0.2, gcl_s=25.0, noise_mul=0.0,
-        drw_warmup=0, use_norm_and_cos=True, save_loss_plots=False,
+        drw_warmup=0, use_norm_and_cos=cos, save_loss_plots=False,
         seed=seed,
     )
 
@@ -177,25 +241,10 @@ def run_reference_instrumented(reader, seed, epochs, folds, alpha=0.1):
                 model = orig_choose(cargs, params, device)
                 # gaitpd init for this (seed, fold): the SAME variables feed
                 # the gaitpd side below
-                fmodel = MultiModalMultiTask(
-                    skeleton_output_dim=dims.skeleton_output_dim,
-                    sensor_out_channels=dims.sensor_out_channels,
-                    sensor_length=dims.sensor_length,
-                    pose_length=dims.pose_length,
-                    shared_out_channels=dims.shared_out_channels,
-                    backbone_dim=dims.backbone_dim,
-                    num_classes=dims.num_classes,
-                    use_norm=True, use_cosine=True,
-                    synchronized_loading=False,
-                )
-                import jax.numpy as jnp
-
-                variables = fmodel.init(
-                    jax.random.PRNGKey(seed + 7919 * fold_idx),
-                    jnp.zeros((2, dims.pose_length, 21), jnp.float32),
-                    jnp.zeros((2, dims.sensor_length, dims.sensor_out_channels), jnp.float32),
-                )
+                _, variables = _init_gaitpd_model(modality, dims, seed, fold_idx)
                 rec["variables"] = variables
+                if modality == "skeleton":
+                    return _transplant_skel(model, variables)
                 return _transplant(model, variables)
 
             ref_driver.create_fusion_loaders = create_loaders
@@ -333,6 +382,88 @@ def run_gaitpd_on_stream(fold_rec, epochs, alpha=0.1):
     return best_avg
 
 
+def run_gaitpd_on_stream_skel(fold_rec, epochs):
+    """Skeleton-only replay: mirror the gaitpd driver's single-modality path
+    (fbg_fog_driver.train_one_fold: StepSettings n_streams=1, wm=ce, pooled
+    eval accuracy, strict-> best selection)."""
+    import jax
+    import jax.numpy as jnp
+
+    from gaitpd.config import FBG_FOG_DIMS, FBG_FOG_TRAIN
+    from gaitpd.models.multitask import SkelModalityModel
+    from gaitpd.train.optim import sgd_torch
+    from gaitpd.train.step import (
+        StepSettings,
+        TrainState,
+        make_apply_adapters,
+        make_loss_ctx,
+        make_train_step,
+    )
+
+    dims = FBG_FOG_DIMS["fog"]
+    tp = FBG_FOG_TRAIN["fog"]
+    model = SkelModalityModel(
+        skeleton_output_dim=dims.skeleton_output_dim,
+        shared_out_channels=dims.shared_out_channels,
+        backbone_dim=dims.backbone_dim,
+        num_classes=dims.num_classes,
+    )
+    variables = fold_rec["variables"]
+
+    def flatten_skel(x):
+        x = np.asarray(x, np.float32)
+        return x.reshape(x.shape[0], x.shape[1], -1)
+
+    def unpack(b):
+        xs = (jnp.asarray(flatten_skel(b["skeleton"])),)
+        ys = (jnp.asarray(np.asarray(b["label_skeleton"]), jnp.int32),)
+        return xs, ys
+
+    counts_pass = fold_rec["train_passes"][0]
+    sk_counts = np.zeros(dims.num_classes, np.int64)
+    for b in counts_pass:
+        sk_counts += np.bincount(
+            np.asarray(b["label_skeleton"]).ravel(), minlength=dims.num_classes
+        )
+
+    settings = StepSettings(n_streams=1, wm="ce", synchronized=False,
+                            private_grads="sum")
+    ctx = make_loss_ctx(settings, [sk_counts])
+    tx = sgd_torch(tp.learning_rate, tp.momentum, tp.weight_decay)
+    state = TrainState(params=variables, opt_state=tx.init(variables),
+                       mtl_state={}, epoch=jnp.zeros((), jnp.int32))
+    train_apply, eval_apply = make_apply_adapters(model.apply, settings)
+    step = jax.jit(make_train_step(train_apply, tx, settings, None, None))
+    eval_jit = jax.jit(lambda v, xs: eval_apply(v, xs, 0))
+
+    train_epochs = fold_rec["train_passes"][1:]
+    assert len(train_epochs) == epochs, (len(train_epochs), epochs)
+    best = 0.0
+    key = jax.random.PRNGKey(0)
+    for ep, batches in enumerate(train_epochs):
+        state = state.replace(epoch=jnp.asarray(ep, jnp.int32))
+        for b in batches:
+            xs, ys = unpack(b)
+            batch = {"xs": xs, "ys": ys,
+                     "valid": jnp.ones((xs[0].shape[0],), jnp.float32)}
+            key, k = jax.random.split(key)
+            state, _ = step(state, batch, k, ctx)
+        ev = fold_rec["eval_passes"][ep] if ep < len(fold_rec["eval_passes"]) \
+            else fold_rec["eval_passes"][-1]
+        corr = tot = 0.0
+        for b in ev:
+            xs, ys = unpack(b)
+            lg = eval_jit(state.params, xs)
+            if isinstance(lg, (tuple, list)):
+                lg = lg[0]
+            corr += float((np.argmax(np.asarray(lg), -1) == np.asarray(ys[0])).sum())
+            tot += ys[0].shape[0]
+        acc = 100.0 * corr / max(tot, 1.0)
+        if acc > best:
+            best = float(acc)
+    return best
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--epochs", type=int, default=25)
@@ -342,6 +473,14 @@ def main():
                    help="CAGrad c; 0 disables CAGrad on BOTH sides (mean of "
                         "branch losses) — isolates the in-graph-QP-vs-scipy "
                         "difference from the rest of the matched step")
+    p.add_argument("--modality", default="multimodal",
+                   choices=["multimodal", "skeleton"],
+                   help="skeleton: the single-branch sub-driver (wm forced "
+                        "to ce, CAGrad off — reference utilities.py:35-71)")
+    p.add_argument("--pose_per_joint", action="store_true",
+                   help="per-class per-joint gains on the synthetic pose "
+                        "signal so it survives the reference's root-joint "
+                        "centering (see gaitpd/data/synthetic.py::_signal)")
     p.add_argument("--out", default="parity_matched_report.json")
     ns = p.parse_args()
 
@@ -352,16 +491,25 @@ def main():
 
     from parity_check import paired_stats
 
+    skel = ns.modality == "skeleton"
+    wm = "ce" if skel else "gcl"
+    if skel:
+        ns.alpha = 0.0  # single-modality path: plain loss.backward()
+    cfg_name = ("skeleton_ce" if skel else "multimodal_gcl_cagrad") \
+        + " matched-init matched-order"
     report = {"epochs": ns.epochs, "strength": ns.strength,
-              "alpha": ns.alpha,
-              "config": "multimodal_gcl_cagrad matched-init matched-order",
+              "alpha": ns.alpha, "modality": ns.modality,
+              "pose_per_joint": ns.pose_per_joint,
+              "config": cfg_name,
               "seeds": {}}
     out_path = Path(ns.out)
     if out_path.exists():
         prev = json.loads(out_path.read_text())
         if (prev.get("epochs") == ns.epochs
                 and prev.get("strength") == ns.strength
-                and prev.get("alpha", 0.1) == ns.alpha):
+                and prev.get("alpha", 0.1) == ns.alpha
+                and prev.get("modality", "multimodal") == ns.modality
+                and prev.get("pose_per_joint", False) == ns.pose_per_joint):
             report["seeds"] = dict(prev.get("seeds", {}))
             print(f"[merge] {len(report['seeds'])} seeds present", flush=True)
 
@@ -369,16 +517,21 @@ def main():
         if str(seed) in report["seeds"]:
             print(f"[merge] seed {seed} done, skipping", flush=True)
             continue
-        reader = make_fog_reader(seed=seed, strength=ns.strength)
+        reader = make_fog_reader(seed=seed, strength=ns.strength,
+                                 pose_per_joint=ns.pose_per_joint)
         folds = ref_utils.generate_class_stratified_folds(reader, "fog")
         print(f"=== seed {seed}: reference (instrumented, {len(folds)} folds) ===",
               flush=True)
         ref_folds = run_reference_instrumented(reader, seed, ns.epochs, folds,
-                                               alpha=ns.alpha)
+                                               alpha=ns.alpha,
+                                               modality=ns.modality, wm=wm)
         print(f"=== seed {seed}: gaitpd on the recorded stream ===", flush=True)
         ours, refs = [], []
         for fr in ref_folds:
-            ours.append(run_gaitpd_on_stream(fr, ns.epochs, alpha=ns.alpha))
+            if skel:
+                ours.append(run_gaitpd_on_stream_skel(fr, ns.epochs))
+            else:
+                ours.append(run_gaitpd_on_stream(fr, ns.epochs, alpha=ns.alpha))
             refs.append(fr["best_avg"])
         report["seeds"][str(seed)] = {
             "gaitpd_folds": ours, "reference_folds": refs,
