@@ -120,9 +120,12 @@ def make_fbg_reader(
     seed: int = 0,
     strength: float = 1.0,
     class_skew: bool = True,
+    pose_per_joint: bool = False,
 ) -> SyntheticFBGReader:
     """class_skew: see make_fog_reader — imbalanced per-class walk/trial
-    counts keep the reference's GCL loss non-degenerate."""
+    counts keep the reference's GCL loss non-degenerate. pose_per_joint:
+    see make_fog_reader/_signal (the FBG pose stream is root-joint-centered
+    by the same reference preprocessing)."""
     rng = np.random.default_rng(seed)
     pose_dict, sensor_dict = {}, {}
     pose_labels, sensor_labels, meta = {}, {}, {}
@@ -134,7 +137,8 @@ def make_fbg_reader(
         sensor_labels[sid] = label
         meta[sid] = rng.uniform(0, 1, size=4).astype(np.float32)
         for w in range(walks + skew):
-            pose = _signal(rng, pose_t, 51, label, strength).reshape(pose_t, 17, 3)
+            pose = _signal(rng, pose_t, 51, label, strength,
+                           per_channel=pose_per_joint).reshape(pose_t, 17, 3)
             pose_dict[f"{sid}_walk_{w}"] = pose
         # GRF: (101, n_trials, 3) 3-D arrays split per trial by the loader
         # (reference extract_grf_data shape; the loaders trim to length 65)

@@ -312,7 +312,8 @@ def get_reader(args: FbgFogArgs):
 
         if dataset == "fbg":
             return synthetic.make_fbg_reader(
-                seed=args.seed, strength=args.synthetic_strength
+                seed=args.seed, strength=args.synthetic_strength,
+                pose_per_joint=args.synthetic_pose_per_joint,
             )
         return synthetic.make_fog_reader(
             seed=args.seed, strength=args.synthetic_strength,

@@ -316,3 +316,79 @@ def test_count_weargait_pickles(tmp_path):
     (tmp_path / "a_walkway.pkl").write_bytes(b"")
     (tmp_path / "a_insole.pkl").write_bytes(b"")
     assert count_weargait_pickles(tmp_path) == 2
+
+
+# ---------------------------------------------------------------------------
+# Synthetic generator stability + pose-signal survivability (round 4b)
+# ---------------------------------------------------------------------------
+
+
+def _stream_hash(arrays):
+    import hashlib
+
+    m = hashlib.sha256()
+    for a in arrays:
+        m.update(np.ascontiguousarray(a).tobytes())
+    return m.hexdigest()[:16]
+
+
+def test_synthetic_default_streams_frozen():
+    """Every committed parity artifact was produced from these exact streams;
+    the default (pose_per_joint=False) draws must never change. The golden
+    hashes pin seeds=0 of all three generators."""
+    from gaitpd.data.synthetic import (
+        make_fbg_reader,
+        make_fog_reader,
+        make_weargait_streams,
+    )
+
+    r = make_fog_reader(seed=0, strength=0.6)
+    assert _stream_hash(
+        [r.pose_dict[k] for k in sorted(r.pose_dict)]
+        + [r.sensor_dict[k] for k in sorted(r.sensor_dict)]
+    ) == "041fdd1bfb6ef053"
+    b = make_fbg_reader(seed=0, strength=0.6)
+    assert _stream_hash(
+        [b.pose_dict[k] for k in sorted(b.pose_dict)]
+        + [b.sensor_dict[k] for k in sorted(b.sensor_dict)]
+    ) == "202ebb99ec66c741"
+    s, _, _ = make_weargait_streams(n_pd=3, n_hc=3, seed=0)
+    assert _stream_hash(
+        [np.nan_to_num(s[sid][m]) for sid in sorted(s)
+         for m in ("walkway", "insole", "imu")]
+    ) == "c369effbdf1bd928"
+
+
+def test_pose_per_joint_signal_survives_centering():
+    """Default pose signal is common-mode across joints: root-joint centering
+    (reference center_poses, dataloader_fbg_fog.py:93-99) deletes it exactly.
+    pose_per_joint applies class-deterministic per-joint gains that survive
+    centering and are identical across segments of a class (generalizable)."""
+    from gaitpd.data.fbg_fog import center_pose
+    from gaitpd.data.synthetic import make_fog_reader
+
+    def class_mean_spread(reader):
+        per_class = {}
+        for k, arr in reader.pose_dict.items():
+            lab = reader.labels_dict[k.rsplit("_", 1)[0]][0]
+            per_class.setdefault(lab, []).append(
+                center_pose(np.asarray(arr, np.float32)).mean(0).ravel()
+            )
+        means = {c: np.mean(v, axis=0) for c, v in per_class.items()}
+        return max(
+            np.linalg.norm(means[a] - means[b])
+            for a in means for b in means if a < b
+        )
+
+    flat = class_mean_spread(make_fog_reader(seed=0, strength=5.0))
+    per_joint = class_mean_spread(
+        make_fog_reader(seed=0, strength=5.0, pose_per_joint=True)
+    )
+    # common-mode: centered class means are noise-level apart; per-joint:
+    # a real inter-class separation remains after centering
+    assert per_joint > 4 * flat
+    # the main rng stream must be untouched by the flag: sensor streams equal
+    a = make_fog_reader(seed=0, strength=5.0)
+    b = make_fog_reader(seed=0, strength=5.0, pose_per_joint=True)
+    for k in a.sensor_dict:
+        assert np.array_equal(a.sensor_dict[k], b.sensor_dict[k])
