@@ -133,6 +133,12 @@ class RecordingLoader:
     def __len__(self):
         return len(self.loader)
 
+    @property
+    def dataset(self):
+        # run_cv reseeds the async dataset per epoch through
+        # tr_loader.dataset.reseed (weargait_train.py:573-574) — proxy it
+        return self.loader.dataset
+
     def __iter__(self):
         cur = []
         self.passes.append(cur)
@@ -199,9 +205,12 @@ def run_reference_instrumented(streams, pd_ids, hc_ids, seed, ns, workdir):
 
     def eoe_hook(model, loader, async_mode, criterions):
         r = orig_eoe(model, loader, async_mode, criterions)
-        # full-precision per-epoch ensemble accuracy (the printed "Best
-        # macro acc" line is rounded to 2 decimals)
-        fold_records[-1]["ens_hist"].append(float(r[2]))
+        # full-precision per-epoch selection metric (the printed "Best
+        # macro acc" line is rounded to 2 decimals): sync = pooled softmax
+        # ensemble; async = mean of the three per-mod batch-mean accs
+        # (weargait_train.py:593)
+        metric = float(np.mean(r[1])) if async_mode else float(r[2])
+        fold_records[-1]["ens_hist"].append(metric)
         return r
 
     def build_model_hook(cargs, sync_flag):
@@ -219,11 +228,15 @@ def run_reference_instrumented(streams, pd_ids, hc_ids, seed, ns, workdir):
     def ewm_hook(model, loader, async_mode, mask, verbose=False):
         r = orig_ewm(model, loader, async_mode, mask, verbose)
         if isinstance(mask, str):
-            fold_records[-1]["masks"][mask] = float(r) if not async_mode else r
+            # sync: pooled ensemble acc (float); async: run_cv records
+            # macro_enabled (weargait_train.py:617-621)
+            fold_records[-1]["masks"][mask] = (
+                float(r) if not async_mode else float(r["macro_enabled"])
+            )
         return r
 
     args = ref_args(seed, ns.epochs, ns.n_folds, ns.per_class,
-                    async_loading=False, wm=ns.wm)
+                    async_loading=ns.async_loading, wm=ns.wm)
     buf = io.StringIO()
     try:
         wt.make_loaders = make_loaders_hook
@@ -270,21 +283,32 @@ def replay_fold(rec, ns):
         make_train_step,
     )
 
-    model = WearGaitThreeModal(synchronized=True)
+    async_mode = ns.async_loading
+    model = WearGaitThreeModal(synchronized=not async_mode)
     variables = rec["variables"]
 
     # class counts exactly as the reference computed them: from the FIRST
     # recorded train pass (build_criteria_and_cagrad, weargait_train.py:133)
-    counts = np.zeros(2, np.int64)
-    for b in rec["train"].passes[0]:
-        counts += np.bincount(np.asarray(b["y"]).ravel(), minlength=2)
+    mods = ("walkway", "insole", "imu")
+    if async_mode:
+        counts3 = []
+        for m in mods:
+            c = np.zeros(2, np.int64)
+            for b in rec["train"].passes[0]:
+                c += np.bincount(np.asarray(b["y"][m]).ravel(), minlength=2)
+            counts3.append(c)
+    else:
+        c = np.zeros(2, np.int64)
+        for b in rec["train"].passes[0]:
+            c += np.bincount(np.asarray(b["y"]).ravel(), minlength=2)
+        counts3 = [c, c, c]
 
     settings = StepSettings(
-        n_streams=3, wm=ns.wm, synchronized=True,
+        n_streams=3, wm=ns.wm, synchronized=not async_mode,
         gcl_m=0.2, gcl_s=25.0, noise_mul=0.0, drw_warmup=0,
         consistency_lambda=0.0, private_grads="sum_plus_own",
     )
-    ctx = make_loss_ctx(settings, [counts, counts, counts])
+    ctx = make_loss_ctx(settings, counts3)
     tx = sgd_torch(1e-3, 0.9, 1e-4)
     mtl = make_method("cagrad", 3, c=0.5)
     bound = model.bind(variables)
@@ -300,10 +324,17 @@ def replay_fold(rec, ns):
     )
 
     def unpack(b):
-        xs = tuple(jnp.asarray(np.asarray(x, np.float32)) for x in b["xs"])
-        y = jnp.asarray(np.asarray(b["y"]), jnp.int32)
-        return {"xs": xs, "ys": (y, y, y),
-                "valid": jnp.ones((y.shape[0],), jnp.float32)}
+        if async_mode:
+            xs = tuple(jnp.asarray(np.asarray(b[m], np.float32)) for m in mods)
+            ys = tuple(
+                jnp.asarray(np.asarray(b["y"][m]), jnp.int32) for m in mods
+            )
+        else:
+            xs = tuple(jnp.asarray(np.asarray(x, np.float32)) for x in b["xs"])
+            y = jnp.asarray(np.asarray(b["y"]), jnp.int32)
+            ys = (y, y, y)
+        return {"xs": xs, "ys": ys,
+                "valid": jnp.ones((xs[0].shape[0],), jnp.float32)}
 
     # pass schedule (sync): pass 0 = criteria counts; wm=gcl additionally
     # consumes one count pass per epoch (maybe_apply_drw, :526-530) before
@@ -318,6 +349,27 @@ def replay_fold(rec, ns):
     key = jax.random.PRNGKey(0)  # noise_mul=0: loss rng inert
 
     def pooled_ens(params, ev_batches, epoch, mask):
+        """sync: pooled softmax-ensemble acc (weargait_train.py:337-351);
+        async: mean over ENABLED mods of per-mod batch-mean accs
+        (:417-429 masked, :593 full)."""
+        if async_mode:
+            acc_sum = np.zeros(3)
+            nb = 0
+            for b in ev_batches:
+                batch = unpack(b)
+                r = eval_step(params, batch, ctx, jax.random.PRNGKey(1),
+                              jnp.asarray(epoch, jnp.int32), mask)
+                n = np.float32(max(float(r["n"]), 1.0))
+                # torch computes the per-batch mean in f32 before .item()
+                # ((lw.argmax==y).float().mean().item()*100,
+                # weargait_train.py:420-422) — round to f32 first so the
+                # accumulated metric is bit-matched
+                mean32 = np.asarray(r["correct"], np.float32) / n
+                acc_sum += 100.0 * mean32.astype(np.float64)
+                nb += 1
+            per_mod = acc_sum / max(nb, 1)
+            on = np.asarray(mask, bool)
+            return float(per_mod[on].mean()) if on.any() else 0.0
         corr = n = 0.0
         for b in ev_batches:
             batch = unpack(b)
@@ -360,6 +412,10 @@ def main():
     p.add_argument("--strength", type=float, default=0.5)
     p.add_argument("--wm", default="class_wt", choices=["class_wt", "ce", "gcl"])
     p.add_argument("--tie_free", action="store_true")
+    p.add_argument("--async_loading", action="store_true",
+                   help="match the ASYNC driver path (per-modality labels "
+                        "and heads, per-epoch dataset reseed, batch-mean "
+                        "macro selection — weargait_train.py:573-574,593)")
     p.add_argument("--out", default="parity_weargait_matched_report.json")
     ns = p.parse_args()
 
@@ -367,17 +423,19 @@ def main():
 
     from parity_check import paired_stats
 
+    mode = "async" if ns.async_loading else "sync"
     report = {"epochs": ns.epochs, "wm": ns.wm, "tie_free": ns.tie_free,
               "n_folds": ns.n_folds, "per_class": ns.per_class,
-              "strength": ns.strength,
-              "config": f"weargait_sync_{ns.wm} matched-init matched-order",
+              "strength": ns.strength, "async_loading": ns.async_loading,
+              "config": f"weargait_{mode}_{ns.wm} matched-init matched-order",
               "seeds": {}}
     out_path = Path(ns.out)
     if out_path.exists():
         prev = json.loads(out_path.read_text())
-        if all(prev.get(k) == report[k]
+        if all(prev.get(k, False if k == "async_loading" else None)
+               == report[k]
                for k in ("epochs", "wm", "tie_free", "n_folds", "per_class",
-                         "strength")):
+                         "strength", "async_loading")):
             report["seeds"] = dict(prev.get("seeds", {}))
             print(f"[merge] {len(report['seeds'])} seeds present", flush=True)
 
