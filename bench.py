@@ -17,11 +17,20 @@ embedded under "extra" so a single-line parser still sees everything):
      forward windows/sec/chip vs a torch-CPU pipeline (the former headline;
      demoted to extra because the tunnel's session-level jitter rides on a
      preproc-bound metric, VERDICT r2 item 5).
-  5. weargait_train_pipeline (HEADLINE) — ONE jit covering the whole
+  5. weargait_serve_ondevice_predict — the serving engine's batched predict
+     on-chip (1000-rep dependency-chained scan, relay round-trip excluded),
+     vs the torch-CPU forward pipeline of metric 4.
+  6. weargait_train_pipeline (HEADLINE) — ONE jit covering the whole
      training iteration: z-score -> window -> CAGrad train step, trained
      windows/sec/chip end-to-end, vs the same pipeline on torch CPU
      (numpy preproc + 3x backward + scipy SLSQP). Compute-bound, so the
      run-to-run spread is reported and small (<10% within a session).
+
+The ambient backend (this image pins JAX_PLATFORMS=axon, one TPU behind a
+relay) is probed in a bounded subprocess FIRST: a down relay yields a
+structured {"error": "tpu_backend_unavailable"} headline plus the CPU-mesh
+DP metric, never a bare traceback or a hang (the artifact stays parseable
+either way).
 """
 
 from __future__ import annotations
@@ -682,11 +691,130 @@ def bench_dp8() -> dict:
     return json.loads(proc.stdout.strip().splitlines()[-1])
 
 
+# ---------------------------------------------------------------------------
+# 6. serving: on-device batched predict (scripts/bench_serve.py --ondevice)
+# ---------------------------------------------------------------------------
+
+
+def bench_serving_ondevice(batch: int = 1024) -> dict:
+    """On-chip cost of the serving engine's batched predict, relay-excluded
+    (a lax.scan of 1000 dependency-chained predicts; see
+    scripts/bench_serve.py::bench_ondevice). Recorded here so the serving
+    perf claim lands in BENCH_r*.json (VERDICT r4 weak item 5)."""
+    import jax
+    import jax.numpy as jnp
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                    "scripts"))
+    from bench_serve import bench_ondevice
+
+    from gaitpd.models.multitask import WearGaitThreeModal
+    from gaitpd.serve import WearGaitEngine
+
+    model = WearGaitThreeModal(synchronized=True)
+    params = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((2, 64, 2)), jnp.zeros((2, 64, 13)), jnp.zeros((2, 64, 24)),
+    )
+    return bench_ondevice(WearGaitEngine(params), batch)
+
+
+# ---------------------------------------------------------------------------
+# bounded backend probe + structured-failure harness
+# ---------------------------------------------------------------------------
+
+
+def probe_backend(timeout_s: int | None = None, retries: int = 1):
+    """Bounded check that the ambient JAX backend is reachable, WITHOUT
+    touching it from this process: `jax.devices()` on this image's pinned
+    axon relay blocks indefinitely when the relay is down (round 4's
+    BENCH artifact was a bare traceback; the MULTICHIP one an rc=124 hang).
+    Runs the probe in a subprocess with a hard timeout and one retry;
+    returns (ok, detail_str)."""
+    if timeout_s is None:
+        timeout_s = int(os.environ.get("GAITPD_BENCH_PROBE_TIMEOUT", "300"))
+    code = ("import jax; ds = jax.devices(); "
+            "print('BACKEND_OK', len(ds), ds[0].platform)")
+    detail = ""
+    for attempt in range(retries + 1):
+        try:
+            proc = subprocess.run(
+                [sys.executable, "-c", code],
+                capture_output=True, text=True, timeout=timeout_s,
+            )
+            if proc.returncode == 0 and "BACKEND_OK" in proc.stdout:
+                return True, proc.stdout.strip().splitlines()[-1]
+            detail = (proc.stderr or proc.stdout)[-400:]
+        except subprocess.TimeoutExpired:
+            detail = f"backend probe timed out after {timeout_s}s"
+        print(json.dumps({"event": "backend_probe_failed",
+                          "attempt": attempt + 1,
+                          "detail": detail}), flush=True)
+    return False, detail
+
+
+HEADLINE_UNIT = "trained windows/sec/chip (zscore+window+CAGrad step)"
+
+
+def emit_failure_headline(error: str, detail: str, extra: list) -> None:
+    """The last stdout line stays a parseable headline JSON even when the
+    TPU path is unreachable or dies mid-bench (VERDICT r4 item 2: no more
+    bare-traceback artifacts; the DP-8 CPU-mesh metric still rides along
+    in extra)."""
+    print(json.dumps({
+        "metric": "weargait_train_pipeline",
+        "value": None,
+        "unit": HEADLINE_UNIT,
+        "vs_baseline": None,
+        "error": error,
+        "error_detail": detail[-600:],
+        "extra": extra,
+    }), flush=True)
+
+
+def run_dp8_metric(extra: list) -> None:
+    """DP-8 virtual-CPU-mesh correctness + throughput (subprocess; runs with
+    or without a live TPU relay)."""
+    try:
+        dp8 = bench_dp8()
+        extra.append(
+            {
+                "metric": "weargait_dp8_epoch_scan",
+                "value": round(dp8["tput_8"], 1),
+                "unit": "windows/sec (8-device virtual CPU mesh, 1 core)",
+                "vs_baseline": round(dp8["tput_8"] / dp8["tput_1"], 3),
+                "loss_match": dp8["match"],
+            }
+        )
+        print(json.dumps(extra[-1]), flush=True)
+    except Exception as e:  # noqa: BLE001 — DP check must not sink the headline
+        print(json.dumps({"metric": "weargait_dp8_epoch_scan",
+                          "error": str(e)[:300]}), flush=True)
+
+
 def main():
+    extra = []
+    ok, probe_detail = probe_backend()
+    if not ok:
+        run_dp8_metric(extra)
+        emit_failure_headline("tpu_backend_unavailable", probe_detail, extra)
+        return
+    print(json.dumps({"event": "backend_probe_ok",
+                      "detail": probe_detail}), flush=True)
+    try:
+        _main_benches(extra)
+    except Exception as e:  # noqa: BLE001 — keep the artifact parseable
+        import traceback
+
+        traceback.print_exc()
+        emit_failure_headline("bench_failed_midrun",
+                              f"{type(e).__name__}: {e}", extra)
+        sys.exit(1)
+
+
+def _main_benches(extra):
     rng = np.random.default_rng(0)
     raw = make_raw(rng)
-
-    extra = []
 
     # 1. train step
     train_tput = bench_train_step_jax(TRAIN_BATCH)
@@ -746,20 +874,7 @@ def main():
                           "error": str(e)[:300]}))
 
     # 3. DP-8 virtual mesh correctness + throughput
-    try:
-        dp8 = bench_dp8()
-        extra.append(
-            {
-                "metric": "weargait_dp8_epoch_scan",
-                "value": round(dp8["tput_8"], 1),
-                "unit": "windows/sec (8-device virtual CPU mesh, 1 core)",
-                "vs_baseline": round(dp8["tput_8"] / dp8["tput_1"], 3),
-                "loss_match": dp8["match"],
-            }
-        )
-        print(json.dumps(extra[-1]), flush=True)
-    except Exception as e:  # noqa: BLE001 — DP check must not sink the headline
-        print(json.dumps({"metric": "weargait_dp8_epoch_scan", "error": str(e)[:300]}))
+    run_dp8_metric(extra)
 
     # 4. former headline: preproc+fwd (jitter-prone; kept for continuity)
     jax_tput = bench_jax(raw)
@@ -774,6 +889,25 @@ def main():
     )
     print(json.dumps(extra[-1]), flush=True)
 
+    # 4b. serving: on-device batched predict (relay-excluded); baseline =
+    # the torch-CPU preproc+forward pipeline of metric 4
+    try:
+        serve = bench_serving_ondevice()
+        extra.append(
+            {
+                "metric": "weargait_serve_ondevice_predict",
+                "value": serve["ondevice_windows_per_s"],
+                "unit": "windows/sec/chip (batched predict, chained scan)",
+                "vs_baseline": round(serve["ondevice_windows_per_s"] / cpu_tput, 2),
+                "batch": serve["batch"],
+                "predict_ms": serve["ondevice_predict_ms"],
+            }
+        )
+        print(json.dumps(extra[-1]), flush=True)
+    except Exception as e:  # noqa: BLE001 — serving must not sink the headline
+        print(json.dumps({"metric": "weargait_serve_ondevice_predict",
+                          "error": str(e)[:300]}), flush=True)
+
     # 5. HEADLINE last (single-line parsers read this one): the full
     # training iteration, raw streams -> trained params, in one jit
     pipe_tput, preproc_share, spread_pct = bench_train_pipeline_jax()
@@ -783,7 +917,7 @@ def main():
             {
                 "metric": "weargait_train_pipeline",
                 "value": round(pipe_tput, 1),
-                "unit": "trained windows/sec/chip (zscore+window+CAGrad step)",
+                "unit": HEADLINE_UNIT,
                 "vs_baseline": round(pipe_tput / pipe_cpu, 2),
                 "preproc_share_pct": round(100 * preproc_share, 2),
                 "spread_pct": round(spread_pct, 2),

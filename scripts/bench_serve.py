@@ -130,13 +130,15 @@ def bench_ondevice(engine, batch: int, reps: int = 1000):
     dt = time.perf_counter() - t0
     # at reps=1000 the ~30 ms relay round-trip is <3% of any total here
     per_predict_ms = dt / reps * 1e3
-    print(json.dumps({
+    out = {
         "mode": "ondevice",
         "batch": batch,
         "chained_reps": reps,
         "ondevice_predict_ms": round(per_predict_ms, 4),
         "ondevice_windows_per_s": round(batch / (per_predict_ms / 1e3), 1),
-    }))
+    }
+    print(json.dumps(out))
+    return out
 
 
 def main():
