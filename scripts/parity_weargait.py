@@ -73,13 +73,13 @@ def materialize_reference_layout(streams, pd_ids, hc_ids, root: Path):
 
 
 def ref_args(seed, epochs, n_folds, per_class, async_loading, wm,
-             single_mod=None):
+             single_mod=None, baseline=None):
     return types.SimpleNamespace(
         n_folds=n_folds, test_per_class=per_class, win_len=64, hop_len=64,
         batch_size=64, num_workers=0, epochs=epochs, patience=50,
         num_classes=2, lr=1e-3, seed=seed, async_loading=async_loading,
         single_mod=single_mod, proj_ch=16, enc_out_ch=12, backbone_dim=8,
-        shared_out_ch=16, use_norm=False, use_cosine=False, baseline=None,
+        shared_out_ch=16, use_norm=False, use_cosine=False, baseline=baseline,
         wm=wm, gcl_m=0.2, gcl_s=25.0, noise_mul=0.0, drw_warmup=0,
         alpha=0.5,
     )
@@ -87,7 +87,7 @@ def ref_args(seed, epochs, n_folds, per_class, async_loading, wm,
 
 def run_reference(streams, pd_ids, hc_ids, seed, epochs, n_folds, per_class,
                   async_loading, workdir: Path, wm="class_wt",
-                  single_mod=None):
+                  single_mod=None, baseline=None):
     sys.path.insert(0, str(REF / "train"))
     sys.path.insert(0, str(REF))
     sys.path.insert(0, str(REF / "data" / "WearGait"))
@@ -129,7 +129,7 @@ def run_reference(streams, pd_ids, hc_ids, seed, epochs, n_folds, per_class,
     from contextlib import redirect_stdout
 
     args = ref_args(seed, epochs, n_folds, per_class, async_loading, wm,
-                    single_mod=single_mod)
+                    single_mod=single_mod, baseline=baseline)
     buf = io.StringIO()
     with redirect_stdout(buf):
         wt.run_cv(args)
@@ -150,7 +150,7 @@ def run_reference(streams, pd_ids, hc_ids, seed, epochs, n_folds, per_class,
 
 
 def run_gaitpd(streams, pd_ids, hc_ids, seed, epochs, n_folds, per_class,
-               async_loading, wm="class_wt", single_mod=None):
+               async_loading, wm="class_wt", single_mod=None, baseline=None):
     import gaitpd.train.weargait_driver as wd
     from gaitpd.train.weargait_driver import WearGaitArgs, run_cv
 
@@ -161,7 +161,7 @@ def run_gaitpd(streams, pd_ids, hc_ids, seed, epochs, n_folds, per_class,
             n_folds=n_folds, test_per_class=per_class, epochs=epochs,
             patience=50, wm=wm, alpha=0.5, seed=seed,
             async_loading=async_loading, verbose=False,
-            single_mod=single_mod,
+            single_mod=single_mod, baseline=baseline,
         ))
     finally:
         wd.get_streams = orig
@@ -177,6 +177,14 @@ def main():
     p.add_argument("--async_loading", action="store_true")
     p.add_argument("--strength", type=float, default=0.5)
     p.add_argument("--wm", default="class_wt", choices=["class_wt", "ce", "gcl"])
+    p.add_argument("--baseline", default=None,
+                   choices=["early_fusion", "late_fusion", "shared_latent",
+                            "cheap_xattn", "deepav_lite", "focal", "taca"],
+                   help="race the reference's baseline zoo through its own "
+                        "WearGait CV/mask protocol (weargait_train.py:"
+                        "458-524; TACA's flatten path :176-181, no-CAGrad/"
+                        "no-DRW gating :150,527-532) against gaitpd's "
+                        "weargait_driver with the same --baseline")
     p.add_argument("--single_mod", default=None,
                    choices=["walkway", "insole", "imu"],
                    help="race the single-modality sub-drivers (reference "
@@ -196,20 +204,26 @@ def main():
     report = {"epochs": ns.epochs, "async": ns.async_loading, "wm": ns.wm,
               "tie_free": ns.tie_free, "n_folds": ns.n_folds,
               "per_class": ns.per_class, "strength": ns.strength,
-              "single_mod": ns.single_mod, "seeds": {}}
+              "single_mod": ns.single_mod, "baseline": ns.baseline,
+              "seeds": {}}
     # seed-merge mode (r4): extend an existing report with new seeds instead
     # of rerunning everything in one invocation. Seeds are keyed per-seed so
-    # the merge is exact; config fields must match (fields absent from a
-    # legacy report are treated as matching — they were only ever run at the
-    # defaults above).
+    # the merge is exact; config fields must match. A field absent from a
+    # previous report is tolerated (pre-r4b reports only ever ran at the
+    # defaults above) but warned about explicitly — don't assume silently
+    # (ADVICE r4).
+    config_keys = ("epochs", "async", "wm", "tie_free", "n_folds",
+                   "per_class", "strength", "single_mod", "baseline")
     out_path = Path(ns.out)
     if out_path.exists():
         prev = json.loads(out_path.read_text())
-        same = all(
-            prev.get(k, report[k]) == report[k]
-            for k in ("epochs", "async", "wm", "tie_free", "n_folds",
-                      "per_class", "strength", "single_mod")
-        )
+        missing = [k for k in config_keys if k not in prev]
+        if missing:
+            print(f"[merge] WARNING: previous report lacks config fields "
+                  f"{missing}; assuming they were run at the current values "
+                  f"{[report[k] for k in missing]} (pre-r4b reports only "
+                  "ever used CLI defaults)", flush=True)
+        same = all(prev.get(k, report[k]) == report[k] for k in config_keys)
         if same:
             report["seeds"] = dict(prev.get("seeds", {}))
             print(f"[merge] extending {ns.out} "
