@@ -89,6 +89,18 @@ def build_parser() -> argparse.ArgumentParser:
                    help="MXU matmul precision for training (highest = f32 parity)")
     p.add_argument("--data_parallel", action="store_true",
                    help="shard batches over all devices (jax.sharding.Mesh DP)")
+    p.add_argument("--aug_mirror_p", type=float, default=0.0,
+                   help="train-time on-device augmentation: per-sample "
+                        "mirror-reflection probability (skeleton streams)")
+    p.add_argument("--aug_rot_deg", type=float, default=0.0,
+                   help="train-time random 3-D rotation amplitude in "
+                        "degrees (skeleton streams)")
+    p.add_argument("--aug_noise_std", type=float, default=0.0,
+                   help="train-time additive gaussian noise std (all "
+                        "streams)")
+    p.add_argument("--aug_axis_p", type=float, default=0.0,
+                   help="train-time probability of zeroing one random "
+                        "coordinate axis / channel per sample")
     p.add_argument("--modality_dropout", type=float, default=0.0,
                    help="train-time random modality dropout probability "
                         "(weargait; relaxed-input training)")
@@ -152,6 +164,10 @@ def run_fbg_fog(ns: argparse.Namespace):
         save_loss_plots=ns.save_loss_plots,
         rebuild_cache=ns.rebuild_cache,
         mesh=getattr(ns, "mesh", None),
+        aug_mirror_p=ns.aug_mirror_p,
+        aug_rot_deg=ns.aug_rot_deg,
+        aug_noise_std=ns.aug_noise_std,
+        aug_axis_p=ns.aug_axis_p,
     )
     if getattr(ns, "vmap_hp", False):
         from gaitpd.train.hp_search import make_grid, run_fbg_fog_hp_vmapped
@@ -204,6 +220,8 @@ def run_weargait(ns: argparse.Namespace, baseline: str = None):
         modality_dropout=ns.modality_dropout,
         fused=getattr(ns, "fused", False),
         mesh=getattr(ns, "mesh", None),
+        aug_noise_std=ns.aug_noise_std,
+        aug_axis_p=ns.aug_axis_p,
     )
     if getattr(ns, "vmap_hp", False):
         from gaitpd.train.hp_search import make_grid, run_weargait_hp_vmapped

@@ -14,6 +14,7 @@ helpers (:388-418).
 from __future__ import annotations
 
 import copy
+import dataclasses
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -140,6 +141,83 @@ def random_translation(x, key, translation_range: Tuple[float, float]):
         minval=translation_range[0], maxval=translation_range[1],
     )
     return x + t
+
+
+# ---------------------------------------------------------------------------
+# In-step on-device augmentation stage (framework-new; the reference defines
+# these transforms in common.py:93-273 but never wires them into a driver —
+# here they run INSIDE the jitted epoch scan with per-step PRNG keys)
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class AugmentSpec:
+    """Static structure of the augmentation stage for one input stream.
+
+    Only the *structure* (which transforms exist, and the joint count that
+    lets a flattened (B, T, J*3) skeleton stream be reshaped for the spatial
+    ops) is trace-time; strengths/probabilities are traced f32 operands (see
+    train/step.py::make_loss_ctx aug_params), so sweeping them reuses one
+    compiled train step."""
+
+    joints: Optional[int] = None  # reshape (B, T, J*3) for the spatial ops
+    mirror: bool = False      # per-sample horizontal flip (joints only)
+    rotation: bool = False    # per-sample random 3-D rotation (joints only)
+    noise: bool = False       # additive gaussian jitter (any stream)
+    axis_mask: bool = False   # zero one random coord axis / channel
+
+
+def augment_stream(x, key, spec: AugmentSpec, params):
+    """Batched train-time augmentation of one stream inside the train step.
+
+    x: (B, T, C); for the spatial ops C == spec.joints * 3.
+    params: dict of traced f32 scalars {"mirror_p", "rot_deg", "noise_std",
+    "axis_p"}. Every transform selects the identity at strength/probability
+    0, so the stage is numerics-exact to off when all operands are zero.
+    Semantics follow the reference's sample-level transforms
+    (common.py:93-273): mirror = MirrorReflection, rotation = RandomRotation
+    (one full-strength main axis, 1/10 on the others), noise = RandomNoise,
+    axis_mask = axis_mask (coordinate axis for skeletons, channel for
+    sensor streams)."""
+    jax, jnp = _import_jax()
+    x = jnp.asarray(x)
+    b = x.shape[0]
+    k_mir, k_rot, k_noise, k_ax, k_axp = jax.random.split(key, 5)
+    if spec.joints:
+        orig_shape = x.shape
+        s = x.reshape(x.shape[0], x.shape[1], spec.joints, 3)
+        if spec.mirror:
+            flip = jax.random.bernoulli(k_mir, params["mirror_p"], (b,))
+            s = jnp.where(flip[:, None, None, None], mirror_reflection(s), s)
+        if spec.rotation:
+            s = random_rotation(
+                s, k_rot, -params["rot_deg"], params["rot_deg"]
+            ).astype(s.dtype)
+        if spec.axis_mask:
+            do = jax.random.bernoulli(k_axp, params["axis_p"], (b,))
+            s = jnp.where(do[:, None, None, None], axis_mask(s, k_ax), s)
+        x = s.reshape(orig_shape)
+    elif spec.axis_mask:
+        c = x.shape[-1]
+        axis = jax.random.randint(k_ax, (b,), 0, c)
+        keep = 1.0 - jax.nn.one_hot(axis, c, dtype=x.dtype)
+        do = jax.random.bernoulli(k_axp, params["axis_p"], (b,))
+        x = jnp.where(do[:, None, None], x * keep[:, None, :], x)
+    if spec.noise:
+        x = x + params["noise_std"] * jax.random.normal(k_noise, x.shape, x.dtype)
+    return x
+
+
+def make_aug_params(mirror_p=0.0, rot_deg=0.0, noise_std=0.0, axis_p=0.0):
+    """The traced-operand dict consumed by augment_stream."""
+    import jax.numpy as jnp
+
+    return {
+        "mirror_p": jnp.asarray(mirror_p, jnp.float32),
+        "rot_deg": jnp.asarray(rot_deg, jnp.float32),
+        "noise_std": jnp.asarray(noise_std, jnp.float32),
+        "axis_p": jnp.asarray(axis_p, jnp.float32),
+    }
 
 
 # ---------------------------------------------------------------------------

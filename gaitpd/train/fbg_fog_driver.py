@@ -74,6 +74,46 @@ class FbgFogArgs:
     resume: bool = False  # resume folds from their latest checkpoint
     save_loss_plots: bool = False  # per-fold loss-curve PNGs
     rebuild_cache: bool = False  # rebuild the reader pickle cache first
+    # on-device train-time augmentation (gaitpd/data/augment.py::
+    # augment_stream; strengths are traced operands — no recompiles across
+    # sweeps). Spatial ops (mirror/rotation) apply to the skeleton stream;
+    # noise/axis-mask to both streams.
+    aug_mirror_p: float = 0.0
+    aug_rot_deg: float = 0.0
+    aug_noise_std: float = 0.0
+    aug_axis_p: float = 0.0
+
+
+def augment_config(args, skeleton_input_dim: int, modality: str):
+    """(specs, params) for the on-device augmentation stage, or (None, None)
+    when every strength is zero. One AugmentSpec per input stream; the
+    sensor stream only takes the non-spatial transforms."""
+    strengths = dict(
+        mirror_p=args.aug_mirror_p, rot_deg=args.aug_rot_deg,
+        noise_std=args.aug_noise_std, axis_p=args.aug_axis_p,
+    )
+    if not any(v > 0 for v in strengths.values()):
+        return None, None
+    from gaitpd.data.augment import AugmentSpec, make_aug_params
+
+    pose_spec = AugmentSpec(
+        joints=skeleton_input_dim // 3,
+        mirror=args.aug_mirror_p > 0, rotation=args.aug_rot_deg > 0,
+        noise=args.aug_noise_std > 0, axis_mask=args.aug_axis_p > 0,
+    )
+    sens_spec = AugmentSpec(
+        noise=args.aug_noise_std > 0, axis_mask=args.aug_axis_p > 0,
+    )
+    if not (sens_spec.noise or sens_spec.axis_mask):
+        sens_spec = None
+    if modality == "skeleton":
+        specs = (pose_spec,)
+    elif modality == "sensor":
+        specs = (sens_spec,)
+    else:
+        specs = (pose_spec, sens_spec)
+    params = tuple(make_aug_params(**strengths) for _ in specs)
+    return specs, params
 
 
 def choose_model(args: FbgFogArgs, dims):
@@ -160,6 +200,9 @@ def train_one_fold(
         ys = np.asarray(data.ys[k])[data.train_pool[:, k]]
         counts.append(np.bincount(ys, minlength=dims.num_classes))
 
+    aug_specs, aug_params = augment_config(
+        args, dims.skeleton_input_dim, args.modality
+    )
     settings = StepSettings(
         n_streams=n_streams,
         wm=args.wm,
@@ -171,8 +214,10 @@ def train_one_fold(
         drw_warmup=args.drw_warmup,
         consistency_lambda=args.consistency_lambda if multimodal else 0.0,
         private_grads="sum",
+        augment=aug_specs,
     )
-    ctx = make_loss_ctx(settings, counts, ldam_max_m=args.ldam_m)
+    ctx = make_loss_ctx(settings, counts, ldam_max_m=args.ldam_m,
+                        aug_params=aug_params)
 
     model = choose_model(args, dims)
     tx = sgd_torch(tp.learning_rate, tp.momentum, tp.weight_decay)

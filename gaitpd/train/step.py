@@ -71,6 +71,14 @@ class StepSettings:
     # ~80x FLOP headroom (RESULTS.md cost-model analysis), so recompute is
     # nearly free — measured via scripts/bench_step.py --remat.
     remat: str = "none"  # none | dots | nothing
+    # on-device train-time augmentation: one AugmentSpec (or None) per INPUT
+    # stream (gaitpd/data/augment.py::augment_stream), applied inside the
+    # epoch scan with per-step PRNG keys. Only the STRUCTURE is static;
+    # strengths are ctx operands (make_loss_ctx aug_params), so sweeping
+    # them never recompiles. The reference ships these transforms
+    # (common.py:93-273) but no driver ever applies them — this stage is
+    # the TPU-first wiring (VERDICT r4 item 5).
+    augment: Optional[Tuple[Any, ...]] = None
 
 
 def make_apply_adapters(apply_fn, settings: "StepSettings"):
@@ -132,13 +140,20 @@ def branch_loss(
 
 
 def make_loss_ctx(
-    settings: StepSettings, counts: Sequence[Sequence[int]], ldam_max_m: float = 0.5
+    settings: StepSettings,
+    counts: Sequence[Sequence[int]],
+    ldam_max_m: float = 0.5,
+    aug_params: Optional[Sequence[Dict[str, Any]]] = None,
 ) -> Tuple[Dict[str, jnp.ndarray], ...]:
     """Per-stream loss-context arrays from training class counts.
 
     The DRW weight slot starts as ones; the step swaps in the inverse-
     frequency weights once state.epoch >= drw_warmup (in-graph analogue of
-    reference train/utilities.py:197-202)."""
+    reference train/utilities.py:197-202).
+
+    aug_params: per-INPUT-stream dicts of traced augmentation strengths
+    (gaitpd.data.augment.make_aug_params); they ride in ctx[0]["aug"] so
+    strength sweeps reuse one compiled step."""
     out = []
     for c in counts:
         out.append(
@@ -148,6 +163,11 @@ def make_loss_ctx(
                 "gcl_m": L.gcl_margins(c),
                 "drw_base": L.inv_freq_weights(c),
             }
+        )
+    if aug_params is not None:
+        out[0]["aug"] = tuple(
+            {k: jnp.asarray(v, jnp.float32) for k, v in p.items()}
+            for p in aug_params
         )
     return tuple(out)
 
@@ -178,6 +198,18 @@ def make_multitask_loss_fn(
         )
 
     def loss_fn(params, xs, ys, valid, ctx, rng, epoch):
+        if settings.augment is not None:
+            from gaitpd.data.augment import augment_stream
+
+            k_aug = jax.random.fold_in(rng, 333)
+            xs = tuple(
+                augment_stream(
+                    x, jax.random.fold_in(k_aug, i), spec, ctx[0]["aug"][i]
+                )
+                if spec is not None
+                else x
+                for i, (x, spec) in enumerate(zip(xs, settings.augment))
+            )
         if settings.modality_dropout > 0:
             n_in = len(xs)
             k_drop, k_force = jax.random.split(jax.random.fold_in(rng, 555))

@@ -276,11 +276,25 @@ def run_cv_vmapped(args):
     datas = [split_to_device(s, async_mode, args.seed) for s in splits]
     stacked = stack_folds(datas)
 
+    aug_specs = aug_params = None
+    if getattr(args, "aug_noise_std", 0.0) > 0 or getattr(args, "aug_axis_p", 0.0) > 0:
+        from gaitpd.data.augment import AugmentSpec, make_aug_params
+
+        aug_specs = (
+            AugmentSpec(noise=args.aug_noise_std > 0,
+                        axis_mask=args.aug_axis_p > 0),
+        ) * 3
+        aug_params = tuple(
+            make_aug_params(noise_std=args.aug_noise_std,
+                            axis_p=args.aug_axis_p)
+            for _ in range(3)
+        )
     settings = StepSettings(
         n_streams=3, wm=args.wm, synchronized=sync_flag, gcl_m=args.gcl_m,
         gcl_s=args.gcl_s, noise_mul=args.noise_mul, drw_warmup=args.drw_warmup,
         consistency_lambda=0.0, private_grads="sum_plus_own",
         modality_dropout=args.modality_dropout,
+        augment=aug_specs,
     )
     ctxs = []
     for d in datas:
@@ -289,7 +303,7 @@ def run_cv_vmapped(args):
                         minlength=args.num_classes)
             for k in range(3)
         ]
-        ctxs.append(make_loss_ctx(settings, counts))
+        ctxs.append(make_loss_ctx(settings, counts, aug_params=aug_params))
     ctx = stack_ctx(ctxs)
 
     model = build_model(args, sync_flag)
@@ -823,12 +837,18 @@ def _fbg_fog_folds_vmapped(reader, folds, args):
         datas.append(fold_to_device(fold, args.modality))
     stacked = stack_folds(datas)
 
+    from gaitpd.train.fbg_fog_driver import augment_config
+
+    aug_specs, aug_params = augment_config(
+        args, dims.skeleton_input_dim, args.modality
+    )
     settings = StepSettings(
         n_streams=n_streams, wm=args.wm, synchronized=args.synchronized_loading,
         ldam_s=args.ldam_s, gcl_m=args.gcl_m, gcl_s=args.gcl_s,
         noise_mul=args.noise_mul, drw_warmup=args.drw_warmup,
         consistency_lambda=args.consistency_lambda if multimodal else 0.0,
         private_grads="sum",
+        augment=aug_specs,
     )
     ctxs = []
     for d in datas:
@@ -837,7 +857,8 @@ def _fbg_fog_folds_vmapped(reader, folds, args):
                         minlength=dims.num_classes)
             for k in range(n_streams)
         ]
-        ctxs.append(make_loss_ctx(settings, counts, ldam_max_m=args.ldam_m))
+        ctxs.append(make_loss_ctx(settings, counts, ldam_max_m=args.ldam_m,
+                                  aug_params=aug_params))
     ctx = stack_ctx(ctxs)
 
     model = choose_model(args, dims)

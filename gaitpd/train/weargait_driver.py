@@ -86,6 +86,10 @@ class WearGaitArgs:
     resume: bool = False
     modality_dropout: float = 0.0  # relaxed-input training (see step.py)
     fused: bool = False  # block-diagonal fused forward (models/fused.py)
+    # on-device train-time augmentation (sensor streams: noise + channel
+    # mask; strengths are traced operands — no recompiles across sweeps)
+    aug_noise_std: float = 0.0
+    aug_axis_p: float = 0.0
 
 
 def build_model(args: WearGaitArgs, sync_flag: bool):
@@ -225,6 +229,19 @@ def run_fold(
         for k in range(3)
     ]
 
+    aug_specs = aug_params = None
+    if args.aug_noise_std > 0 or args.aug_axis_p > 0:
+        from gaitpd.data.augment import AugmentSpec, make_aug_params
+
+        aug_specs = (
+            AugmentSpec(noise=args.aug_noise_std > 0,
+                        axis_mask=args.aug_axis_p > 0),
+        ) * 3
+        aug_params = tuple(
+            make_aug_params(noise_std=args.aug_noise_std,
+                            axis_p=args.aug_axis_p)
+            for _ in range(3)
+        )
     settings = StepSettings(
         n_streams=3,
         wm=args.wm,
@@ -236,8 +253,9 @@ def run_fold(
         consistency_lambda=0.0,
         private_grads="sum_plus_own",
         modality_dropout=args.modality_dropout,
+        augment=aug_specs,
     )
-    ctx = make_loss_ctx(settings, counts)
+    ctx = make_loss_ctx(settings, counts, aug_params=aug_params)
 
     model = build_model(args, sync_flag)
     tx = sgd_torch(args.lr, 0.9, 1e-4)

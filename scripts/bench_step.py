@@ -33,7 +33,7 @@ def _apply_fn(model, fused: bool):
 
 def build_step(batch_size: int, precision: str = "highest",
                fused: bool = False, input_dtype: str = "float32",
-               remat: str = "none"):
+               remat: str = "none", augment: bool = False):
     import jax
     import jax.numpy as jnp
 
@@ -59,11 +59,19 @@ def build_step(batch_size: int, precision: str = "highest",
     ys = tuple(jnp.asarray(rng.integers(0, 2, size=b), jnp.int32) for _ in range(3))
 
     model = WearGaitThreeModal(synchronized=True)
+    aug_specs = aug_params = None
+    if augment:
+        from gaitpd.data.augment import AugmentSpec, make_aug_params
+
+        aug_specs = (AugmentSpec(noise=True, axis_mask=True),) * 3
+        aug_params = tuple(
+            make_aug_params(noise_std=0.1, axis_p=0.2) for _ in range(3)
+        )
     settings = StepSettings(
         n_streams=3, wm="gcl", synchronized=True,
-        private_grads="sum_plus_own", remat=remat,
+        private_grads="sum_plus_own", remat=remat, augment=aug_specs,
     )
-    ctx = make_loss_ctx(settings, [(5, 3)] * 3)
+    ctx = make_loss_ctx(settings, [(5, 3)] * 3, aug_params=aug_params)
     tx = sgd_torch(1e-3)
     mtl = make_method("cagrad", 3, c=0.5)
     state, partition = init_train_state(model, tx, mtl, tuple(x[:2] for x in xs))

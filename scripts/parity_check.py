@@ -124,6 +124,9 @@ def _make_reader(dataset: str, seed: int, strength: float,
     from gaitpd.data.synthetic import make_fbg_reader, make_fog_reader
 
     if dataset == "fbg":
+        # make_fbg_reader has no per-joint pose mode; a silent drop here
+        # would yield a misleading parity row (ADVICE r4)
+        assert not pose_per_joint, "pose_per_joint is fog-only"
         return make_fbg_reader(seed=seed, strength=strength)
     return make_fog_reader(seed=seed, strength=strength,
                            pose_per_joint=pose_per_joint)
@@ -293,7 +296,15 @@ def main():
                 # legacy report (no per-config seeds_run): its own `seeds`
                 # field IS exactly what was run (e.g. parity_gcl_s08's
                 # original seeds are 8-15) — trust it untruncated rather
-                # than dropping/duplicating the non-smallest seeds
+                # than dropping/duplicating the non-smallest seeds. Guard
+                # the trust (ADVICE r4): the seed list and the per_seed
+                # results must align one-to-one, else later merges would
+                # silently mis-assign seeds to results.
+                assert len(prev_seeds) == len(ours_list) == len(ref_list), (
+                    f"legacy report {config}: seeds field ({len(prev_seeds)})"
+                    f" does not align with per_seed lists "
+                    f"({len(ours_list)}/{len(ref_list)})"
+                )
                 done_seeds = list(prev_seeds)
         for seed in ns.seeds:
             if seed in done_seeds:
