@@ -243,13 +243,16 @@ def main():
         print(f"=== seed {seed}: gaitpd ===", flush=True)
         ours = run_gaitpd(streams, pd_ids, hc_ids, seed, ns.epochs,
                           ns.n_folds, ns.per_class, ns.async_loading, ns.wm,
-                          single_mod=ns.single_mod)
+                          single_mod=ns.single_mod, baseline=ns.baseline)
         print(f"=== seed {seed}: torch reference ===", flush=True)
         with tempfile.TemporaryDirectory() as td:
             ref = run_reference(streams, pd_ids, hc_ids, seed, ns.epochs,
                                 ns.n_folds, ns.per_class, ns.async_loading,
-                                Path(td), ns.wm, single_mod=ns.single_mod)
-        report["seeds"][seed] = {
+                                Path(td), ns.wm, single_mod=ns.single_mod,
+                                baseline=ns.baseline)
+        # str keys on insert: merged dicts otherwise mix JSON-loaded str
+        # keys with in-session int keys (ADVICE r4)
+        report["seeds"][str(seed)] = {
             "gaitpd_macro": ours["macro"][0],
             "reference_macro": ref["macro"],
             "gaitpd_masks": ours["masks"],
