@@ -188,10 +188,16 @@ def _init_gaitpd_model(modality, dims, seed, fold_idx):
 
 
 def run_reference_instrumented(reader, seed, epochs, folds, alpha=0.1,
-                               modality="multimodal", wm="gcl"):
+                               modality="multimodal", wm="gcl",
+                               transplant=True):
     """Run the reference's train_one_fold natively per fold with transplanted
     init + recording loaders. Returns per-fold (best_avg, recorded streams,
-    init variables)."""
+    init variables).
+
+    transplant=False keeps the reference's own torch init (the recording
+    instruments stay attached) — the harness-neutrality control and the
+    'own init, own order' cell of the init-stream swap
+    (scripts/parity_initswap.py)."""
     sys.path.insert(0, str(REF / "train"))
     sys.path.insert(0, str(REF))
     import torch
@@ -239,6 +245,8 @@ def run_reference_instrumented(reader, seed, epochs, folds, alpha=0.1,
 
             def choose_transplanted(cargs, params, device):
                 model = orig_choose(cargs, params, device)
+                if not transplant:
+                    return model
                 # gaitpd init for this (seed, fold): the SAME variables feed
                 # the gaitpd side below
                 _, variables = _init_gaitpd_model(modality, dims, seed, fold_idx)
