@@ -197,7 +197,7 @@ def main():
     p.add_argument("--seeds", nargs="+", type=int,
                    default=[0, 1, 2, 3, 4, 5, 6, 7])
     p.add_argument("--strength", type=float, default=0.8)
-    p.add_argument("--out", default="parity_baselines_report.json")
+    p.add_argument("--out", default="artifacts/parity/parity_baselines_report.json")
     ns = p.parse_args()
 
     # Merge into an existing report (same epochs/strength) so configs can be

@@ -265,7 +265,7 @@ def main():
     p.add_argument("--strength", type=float, default=0.8,
                    help="class-signal strength (picked so accuracies land in "
                         "a discriminative 60-90%% regime, off chance)")
-    p.add_argument("--out", default="parity_report.json")
+    p.add_argument("--out", default="artifacts/parity/parity_report.json")
     ns = p.parse_args()
 
     # merge mode: extend an existing report (same epochs/strength) with new

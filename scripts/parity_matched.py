@@ -489,7 +489,7 @@ def main():
                    help="per-class per-joint gains on the synthetic pose "
                         "signal so it survives the reference's root-joint "
                         "centering (see gaitpd/data/synthetic.py::_signal)")
-    p.add_argument("--out", default="parity_matched_report.json")
+    p.add_argument("--out", default="artifacts/parity/parity_matched_report.json")
     ns = p.parse_args()
 
     from gaitpd.data.synthetic import make_fog_reader

@@ -196,7 +196,7 @@ def main():
                    help="PD/HC stream lengths from disjoint ranges so "
                         "per-class train window counts never tie (the "
                         "reference GCLLoss is 0/0=NaN on exact ties)")
-    p.add_argument("--out", default="parity_weargait_report.json")
+    p.add_argument("--out", default="artifacts/parity/parity_weargait_report.json")
     ns = p.parse_args()
 
     from gaitpd.data.synthetic import make_weargait_streams

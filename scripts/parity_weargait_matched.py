@@ -416,7 +416,7 @@ def main():
                    help="match the ASYNC driver path (per-modality labels "
                         "and heads, per-epoch dataset reseed, batch-mean "
                         "macro selection — weargait_train.py:573-574,593)")
-    p.add_argument("--out", default="parity_weargait_matched_report.json")
+    p.add_argument("--out", default="artifacts/parity/parity_weargait_matched_report.json")
     ns = p.parse_args()
 
     from gaitpd.data.synthetic import make_weargait_streams

@@ -29,9 +29,9 @@ from parity_check import paired_stats  # noqa: E402
 MASKS = ("W", "I", "M", "W+I", "W+M", "I+M", "W+I+M")
 
 REPORTS = {
-    "sync_gcl": "parity_weargait_s32_report.json",
-    "async_gcl": "parity_weargait_async_s32_report.json",
-    "tiefree_gcl": "parity_weargait_gcl_tiefree_s32_report.json",
+    "sync_gcl": "artifacts/parity/parity_weargait_s32_report.json",
+    "async_gcl": "artifacts/parity/parity_weargait_async_s32_report.json",
+    "tiefree_gcl": "artifacts/parity/parity_weargait_gcl_tiefree_s32_report.json",
 }
 
 
@@ -73,7 +73,7 @@ def main():
                 f"[{lo:+.2f}, {hi:+.2f}]{flag} | "
                 f"{st['wins']}/{st['losses']} |"
             )
-    (REPO / "parity_weargait_permask.json").write_text(
+    (REPO / "artifacts/parity/parity_weargait_permask.json").write_text(
         json.dumps(out, indent=2)
     )
     n_rows = sum(len(v["masks"]) for v in out.values())
