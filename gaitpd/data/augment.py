@@ -181,6 +181,7 @@ def augment_stream(x, key, spec: AugmentSpec, params):
     sensor streams)."""
     jax, jnp = _import_jax()
     x = jnp.asarray(x)
+    in_dtype = x.dtype  # bf16 input storage must stay bf16 (HBM traffic)
     b = x.shape[0]
     k_mir, k_rot, k_noise, k_ax, k_axp = jax.random.split(key, 5)
     if spec.joints:
@@ -205,7 +206,7 @@ def augment_stream(x, key, spec: AugmentSpec, params):
         x = jnp.where(do[:, None, None], x * keep[:, None, :], x)
     if spec.noise:
         x = x + params["noise_std"] * jax.random.normal(k_noise, x.shape, x.dtype)
-    return x
+    return x.astype(in_dtype)
 
 
 def make_aug_params(mirror_p=0.0, rot_deg=0.0, noise_std=0.0, axis_p=0.0):
