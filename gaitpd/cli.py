@@ -184,6 +184,11 @@ def run_fbg_fog(ns: argparse.Namespace):
 def run_weargait(ns: argparse.Namespace, baseline: str = None):
     from gaitpd.train.weargait_driver import WearGaitArgs, run_cv
 
+    if ns.aug_mirror_p > 0 or ns.aug_rot_deg > 0:
+        print("warning: --aug_mirror_p/--aug_rot_deg are skeleton-stream "
+              "transforms; the WearGait sensor streams ignore them "
+              "(only --aug_noise_std/--aug_axis_p apply)")
+
     args = WearGaitArgs(
         n_folds=ns.n_folds,
         test_per_class=ns.test_per_class,

@@ -199,11 +199,11 @@ def augment_stream(x, key, spec: AugmentSpec, params):
             s = jnp.where(do[:, None, None, None], axis_mask(s, k_ax), s)
         x = s.reshape(orig_shape)
     elif spec.axis_mask:
-        c = x.shape[-1]
-        axis = jax.random.randint(k_ax, (b,), 0, c)
-        keep = 1.0 - jax.nn.one_hot(axis, c, dtype=x.dtype)
+        # sensor streams: one random CHANNEL per sample — the same primitive
+        # with the channel dim in axis_mask's coordinate slot
         do = jax.random.bernoulli(k_axp, params["axis_p"], (b,))
-        x = jnp.where(do[:, None, None], x * keep[:, None, :], x)
+        masked = axis_mask(x[:, :, None, :], k_ax)[:, :, 0, :]
+        x = jnp.where(do[:, None, None], masked, x)
     if spec.noise:
         x = x + params["noise_std"] * jax.random.normal(k_noise, x.shape, x.dtype)
     return x.astype(in_dtype)

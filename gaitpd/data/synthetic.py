@@ -158,6 +158,7 @@ def make_weargait_streams(
     t_frames: int = 400,
     seed: int = 0,
     tie_free: bool = False,
+    strength: float = 0.8,
 ) -> Tuple[Dict[str, Dict[str, np.ndarray]], List[str], List[str]]:
     """Per-subject {walkway (T,2), insole (T,13), imu (T,24)} streams with a
     PD-vs-HC separable signal; NaNs sprinkled into insole/imu to exercise the
@@ -181,9 +182,9 @@ def make_weargait_streams(
         else:
             t = t_frames + int(rng.integers(-50, 50))
         sub = {
-            "walkway": _signal(rng, t, 2, label, strength=0.8),
-            "insole": _signal(rng, t, 13, label, strength=0.8),
-            "imu": _signal(rng, t, 24, label, strength=0.8),
+            "walkway": _signal(rng, t, 2, label, strength=strength),
+            "insole": _signal(rng, t, 13, label, strength=strength),
+            "imu": _signal(rng, t, 24, label, strength=strength),
         }
         # sprinkle NaNs (~0.5%) into insole/imu like real sensor dropouts
         for m in ("insole", "imu"):

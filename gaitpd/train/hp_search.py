@@ -141,11 +141,25 @@ def run_weargait_hp_vmapped(args, grid: List[Dict[str, float]]) -> dict:
     f = h * nf  # instance axis: h-major, fold-minor
     stacked = stack_folds(datas * h)
 
+    aug_specs = aug_params = None
+    if getattr(args, "aug_noise_std", 0.0) > 0 or getattr(args, "aug_axis_p", 0.0) > 0:
+        from gaitpd.data.augment import AugmentSpec, make_aug_params
+
+        aug_specs = (
+            AugmentSpec(noise=args.aug_noise_std > 0,
+                        axis_mask=args.aug_axis_p > 0),
+        ) * 3
+        aug_params = tuple(
+            make_aug_params(noise_std=args.aug_noise_std,
+                            axis_p=args.aug_axis_p)
+            for _ in range(3)
+        )
     settings = StepSettings(
         n_streams=3, wm=args.wm, synchronized=sync_flag, gcl_m=args.gcl_m,
         gcl_s=args.gcl_s, noise_mul=args.noise_mul, drw_warmup=args.drw_warmup,
         consistency_lambda=0.0, private_grads="sum_plus_own",
         modality_dropout=args.modality_dropout,
+        augment=aug_specs,
     )
 
     fold_ctxs = []
@@ -155,7 +169,7 @@ def run_weargait_hp_vmapped(args, grid: List[Dict[str, float]]) -> dict:
                         minlength=args.num_classes)
             for k in range(3)
         ]
-        fold_ctxs.append(make_loss_ctx(settings, counts))
+        fold_ctxs.append(make_loss_ctx(settings, counts, aug_params=aug_params))
     ctxs = []
     for hp in grid:
         gm = jnp.float32(hp.get("gcl_m", args.gcl_m))
@@ -542,6 +556,11 @@ def run_fbg_fog_hp_vmapped(args, grid: List[Dict[str, float]]) -> dict:
     f = h * nf
     stacked = stack_folds(datas * h)
 
+    from gaitpd.train.fbg_fog_driver import augment_config
+
+    aug_specs, aug_params = augment_config(
+        args, dims.skeleton_input_dim, args.modality
+    )
     settings = StepSettings(
         n_streams=n_streams, wm=args.wm,
         synchronized=args.synchronized_loading,
@@ -549,6 +568,7 @@ def run_fbg_fog_hp_vmapped(args, grid: List[Dict[str, float]]) -> dict:
         noise_mul=args.noise_mul, drw_warmup=args.drw_warmup,
         consistency_lambda=args.consistency_lambda if multimodal else 0.0,
         private_grads="sum",
+        augment=aug_specs,
     )
     fold_ctxs = []
     for d in datas:
@@ -557,7 +577,8 @@ def run_fbg_fog_hp_vmapped(args, grid: List[Dict[str, float]]) -> dict:
                         minlength=dims.num_classes)
             for k in range(n_streams)
         ]
-        fold_ctxs.append(make_loss_ctx(settings, counts, ldam_max_m=args.ldam_m))
+        fold_ctxs.append(make_loss_ctx(settings, counts, ldam_max_m=args.ldam_m,
+                                       aug_params=aug_params))
     ctxs = []
     for hp in grid:
         gm = jnp.float32(hp.get("gcl_m", args.gcl_m))

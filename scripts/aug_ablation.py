@@ -23,6 +23,9 @@ sys.path.insert(0, str(REPO))
 sys.path.insert(0, str(Path(__file__).parent))
 
 
+AUG = {"mirror_p": 0.5, "rot_deg": 10.0, "noise_std": 0.02}
+
+
 def run_cell(seed, epochs, strength, aug):
     import dataclasses
 
@@ -35,7 +38,8 @@ def run_cell(seed, epochs, strength, aug):
         synthetic_pose_per_joint=True, seed=seed, verbose=False,
     )
     if aug:
-        kw.update(aug_mirror_p=0.5, aug_rot_deg=10.0, aug_noise_std=0.02)
+        kw.update(aug_mirror_p=AUG["mirror_p"], aug_rot_deg=AUG["rot_deg"],
+                  aug_noise_std=AUG["noise_std"])
     args = FbgFogArgs(**kw)
     assert dataclasses.is_dataclass(args)
     res = fbg_main(args)
@@ -53,13 +57,17 @@ def main():
     out.parent.mkdir(parents=True, exist_ok=True)
 
     report = {"epochs": ns.epochs, "strength": ns.strength,
-              "aug": {"mirror_p": 0.5, "rot_deg": 10.0, "noise_std": 0.02},
-              "seeds": {}}
+              "aug": dict(AUG), "seeds": {}}
     if out.exists():
         prev = json.loads(out.read_text())
-        if prev.get("epochs") == ns.epochs and prev.get("strength") == ns.strength:
+        if (prev.get("epochs") == ns.epochs
+                and prev.get("strength") == ns.strength
+                and prev.get("aug") == report["aug"]):
             report["seeds"] = dict(prev.get("seeds", {}))
             print(f"[merge] {len(report['seeds'])} seeds present", flush=True)
+        else:
+            print("[merge] config mismatch (epochs/strength/aug) — "
+                  "starting fresh", flush=True)
 
     for seed in ns.seeds:
         if str(seed) in report["seeds"]:

@@ -179,6 +179,10 @@ def main():
                          "cotangent pullbacks (VERDICT r3 item 1: trade the "
                          "~80x FLOP headroom for the dominant HBM traffic — "
                          "backward-pass re-reads of forward intermediates)")
+    ap.add_argument("--augment", action="store_true",
+                    help="enable the on-device augmentation stage "
+                         "(noise+channel-mask on all 3 streams) inside the "
+                         "step to measure its throughput cost")
     ap.add_argument("--cost_analysis", action="store_true",
                     help="also print the XLA-compiled step's own cost model "
                          "(FLOPs + HBM bytes accessed) and the implied "
@@ -187,6 +191,9 @@ def main():
 
     import jax
 
+    if args.augment and args.folds:
+        print("note: --augment applies to the single-fold step only; "
+              "ignoring it for --folds")
     print(f"platform: {jax.devices()[0].platform} x{len(jax.devices())}")
     fpw = model_flops_per_window()
     for b in [int(x) for x in args.batches.split(",")]:
@@ -201,6 +208,7 @@ def main():
             step, state, batch, ctx = build_step(
                 b, args.precision, fused=args.fused,
                 input_dtype=args.input_dtype, remat=args.remat,
+                augment=args.augment,
             )
             keys = jax.random.PRNGKey(0)
             fold_in = jax.random.fold_in

@@ -175,7 +175,12 @@ def main():
     p.add_argument("--n_folds", type=int, default=2)
     p.add_argument("--per_class", type=int, default=3)
     p.add_argument("--async_loading", action="store_true")
-    p.add_argument("--strength", type=float, default=0.5)
+    p.add_argument("--strength", type=float, default=0.8,
+                   help="PD-vs-HC signal strength of the synthetic streams. "
+                        "Historically this flag was recorded but unused "
+                        "(the generator was fixed at 0.8); legacy reports "
+                        "recording 0.5 actually ran at 0.8 and merge as "
+                        "such")
     p.add_argument("--wm", default="class_wt", choices=["class_wt", "ce", "gcl"])
     p.add_argument("--baseline", default=None,
                    choices=["early_fusion", "late_fusion", "shared_latent",
@@ -223,7 +228,16 @@ def main():
                   f"{missing}; assuming they were run at the current values "
                   f"{[report[k] for k in missing]} (pre-r4b reports only "
                   "ever used CLI defaults)", flush=True)
-        same = all(prev.get(k, report[k]) == report[k] for k in config_keys)
+
+        def prev_val(k):
+            v = prev.get(k, report[k])
+            if k == "strength" and v == 0.5:
+                # legacy reports recorded the then-unused flag default; the
+                # generator actually ran at its fixed 0.8
+                return 0.8
+            return v
+
+        same = all(prev_val(k) == report[k] for k in config_keys)
         if same:
             report["seeds"] = dict(prev.get("seeds", {}))
             print(f"[merge] extending {ns.out} "
@@ -238,7 +252,8 @@ def main():
             continue
         n = ns.n_folds * ns.per_class + 2
         streams, pd_ids, hc_ids = make_weargait_streams(
-            n_pd=n, n_hc=n, t_frames=500, seed=seed, tie_free=ns.tie_free
+            n_pd=n, n_hc=n, t_frames=500, seed=seed, tie_free=ns.tie_free,
+            strength=ns.strength,
         )
         print(f"=== seed {seed}: gaitpd ===", flush=True)
         ours = run_gaitpd(streams, pd_ids, hc_ids, seed, ns.epochs,

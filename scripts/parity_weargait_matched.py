@@ -409,7 +409,10 @@ def main():
     p.add_argument("--seeds", nargs="+", type=int, default=list(range(8)))
     p.add_argument("--n_folds", type=int, default=2)
     p.add_argument("--per_class", type=int, default=3)
-    p.add_argument("--strength", type=float, default=0.5)
+    p.add_argument("--strength", type=float, default=0.8,
+                   help="signal strength of the synthetic streams; legacy "
+                        "reports recorded 0.5 but the generator was fixed "
+                        "at 0.8 (treated as equal when merging)")
     p.add_argument("--wm", default="class_wt", choices=["class_wt", "ce", "gcl"])
     p.add_argument("--tie_free", action="store_true")
     p.add_argument("--async_loading", action="store_true",
@@ -432,8 +435,14 @@ def main():
     out_path = Path(ns.out)
     if out_path.exists():
         prev = json.loads(out_path.read_text())
-        if all(prev.get(k, False if k == "async_loading" else None)
-               == report[k]
+
+        def prev_val(k):
+            v = prev.get(k, False if k == "async_loading" else None)
+            if k == "strength" and v == 0.5:
+                return 0.8  # legacy recorded-but-unused flag default
+            return v
+
+        if all(prev_val(k) == report[k]
                for k in ("epochs", "wm", "tie_free", "n_folds", "per_class",
                          "strength", "async_loading")):
             report["seeds"] = dict(prev.get("seeds", {}))
@@ -445,7 +454,8 @@ def main():
             continue
         n = ns.n_folds * ns.per_class + 2
         streams, pd_ids, hc_ids = make_weargait_streams(
-            n_pd=n, n_hc=n, t_frames=500, seed=seed, tie_free=ns.tie_free
+            n_pd=n, n_hc=n, t_frames=500, seed=seed, tie_free=ns.tie_free,
+            strength=ns.strength,
         )
         print(f"=== seed {seed}: reference (instrumented) ===", flush=True)
         with tempfile.TemporaryDirectory() as td:
