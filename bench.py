@@ -794,7 +794,12 @@ def run_dp8_metric(extra: list) -> None:
 
 def main():
     extra = []
-    ok, probe_detail = probe_backend()
+    if os.environ.get("GAITPD_BENCH_SKIP_PROBE"):
+        # iterative sessions on a known-healthy relay: skip the probe's
+        # extra per-process registration handshake
+        ok, probe_detail = True, "probe skipped (GAITPD_BENCH_SKIP_PROBE)"
+    else:
+        ok, probe_detail = probe_backend()
     if not ok:
         run_dp8_metric(extra)
         emit_failure_headline("tpu_backend_unavailable", probe_detail, extra)
