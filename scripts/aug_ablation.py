@@ -38,8 +38,8 @@ def run_cell(seed, epochs, strength, aug):
         synthetic_pose_per_joint=True, seed=seed, verbose=False,
     )
     if aug:
-        kw.update(aug_mirror_p=AUG["mirror_p"], aug_rot_deg=AUG["rot_deg"],
-                  aug_noise_std=AUG["noise_std"])
+        kw.update(aug_mirror_p=aug["mirror_p"], aug_rot_deg=aug["rot_deg"],
+                  aug_noise_std=aug["noise_std"])
     args = FbgFogArgs(**kw)
     assert dataclasses.is_dataclass(args)
     res = fbg_main(args)
@@ -51,13 +51,20 @@ def main():
     p.add_argument("--epochs", type=int, default=25)
     p.add_argument("--strength", type=float, default=5.0)
     p.add_argument("--seeds", nargs="+", type=int, default=list(range(16)))
+    p.add_argument("--mirror_p", type=float, default=AUG["mirror_p"],
+                   help="mirror swaps left/right H36M joints — label-"
+                        "inconsistent when the signal is joint-asymmetric")
+    p.add_argument("--rot_deg", type=float, default=AUG["rot_deg"])
+    p.add_argument("--noise_std", type=float, default=AUG["noise_std"])
     p.add_argument("--out", default="artifacts/parity/aug_ablation_report.json")
     ns = p.parse_args()
     out = Path(ns.out)
     out.parent.mkdir(parents=True, exist_ok=True)
 
+    aug_cfg = {"mirror_p": ns.mirror_p, "rot_deg": ns.rot_deg,
+               "noise_std": ns.noise_std}
     report = {"epochs": ns.epochs, "strength": ns.strength,
-              "aug": dict(AUG), "seeds": {}}
+              "aug": aug_cfg, "seeds": {}}
     if out.exists():
         prev = json.loads(out.read_text())
         if (prev.get("epochs") == ns.epochs
@@ -72,8 +79,8 @@ def main():
     for seed in ns.seeds:
         if str(seed) in report["seeds"]:
             continue
-        base = run_cell(seed, ns.epochs, ns.strength, aug=False)
-        aug = run_cell(seed, ns.epochs, ns.strength, aug=True)
+        base = run_cell(seed, ns.epochs, ns.strength, aug=None)
+        aug = run_cell(seed, ns.epochs, ns.strength, aug=aug_cfg)
         report["seeds"][str(seed)] = {"base": base, "aug": aug}
         print(f"[seed {seed}] base={base:.2f}% aug={aug:.2f}% "
               f"delta={aug - base:+.2f}", flush=True)
