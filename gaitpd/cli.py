@@ -72,6 +72,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--baseline", type=str, default=None,
                    choices=["early_fusion", "late_fusion", "shared_latent",
                             "cheap_xattn", "deepav_lite", "focal", "taca"])
+    p.add_argument("--baseline_torch_init", action="store_true",
+                   help="DeepAV patch-embed conv uses the torch init law "
+                        "(kaiming_uniform kernel + uniform bias) instead of "
+                        "the default lecun_normal + zero bias; the default "
+                        "is measurably better under relaxed-input masks "
+                        "(models/baselines.py::PatchEmbed1D)")
     p.add_argument("--fusion_type", type=str, default="early",
                    choices=["early", "late", "share_latent", "cheap_xattn"])
     p.add_argument("--data_dir", type=str, default=None)
@@ -209,6 +215,7 @@ def run_weargait(ns: argparse.Namespace, baseline: str = None):
         use_norm=ns.use_norm,
         use_cosine=ns.use_cosine,
         baseline=baseline if baseline is not None else ns.baseline,
+        baseline_torch_init=ns.baseline_torch_init,
         wm=ns.wm if ns.wm in ("ce", "class_wt", "gcl") else "ce",
         gcl_m=ns.gcl_m,
         gcl_s=ns.gcl_s,

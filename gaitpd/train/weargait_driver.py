@@ -70,6 +70,11 @@ class WearGaitArgs:
     use_norm: bool = False
     use_cosine: bool = False
     baseline: Optional[str] = None
+    # parity experiments: torch-law init for the DeepAV patch-embed conv
+    # (kaiming_uniform kernel + uniform bias instead of lecun_normal + zero
+    # bias — see models/baselines.py::PatchEmbed1D for why the default is
+    # better under relaxed-input masks)
+    baseline_torch_init: bool = False
     wm: str = "gcl"
     gcl_m: float = 0.2
     gcl_s: float = 25.0
@@ -124,7 +129,11 @@ def build_model(args: WearGaitArgs, sync_flag: bool):
     if args.baseline == "shared_latent":
         return F.SharedLatent3(proj_ch=args.proj_ch, **common)
     if args.baseline == "deepav_lite":
-        return B.DeepAVLite3(num_classes=args.num_classes, synchronized=sync_flag)
+        return B.DeepAVLite3(
+            num_classes=args.num_classes,
+            synchronized=sync_flag,
+            torch_init=args.baseline_torch_init,
+        )
     if args.baseline == "focal":
         return B.FOCALSharedLatent3(num_classes=args.num_classes, synchronized=sync_flag)
     if args.baseline == "taca":

@@ -150,7 +150,8 @@ def run_reference(streams, pd_ids, hc_ids, seed, epochs, n_folds, per_class,
 
 
 def run_gaitpd(streams, pd_ids, hc_ids, seed, epochs, n_folds, per_class,
-               async_loading, wm="class_wt", single_mod=None, baseline=None):
+               async_loading, wm="class_wt", single_mod=None, baseline=None,
+               baseline_torch_init=False):
     import gaitpd.train.weargait_driver as wd
     from gaitpd.train.weargait_driver import WearGaitArgs, run_cv
 
@@ -162,6 +163,7 @@ def run_gaitpd(streams, pd_ids, hc_ids, seed, epochs, n_folds, per_class,
             patience=50, wm=wm, alpha=0.5, seed=seed,
             async_loading=async_loading, verbose=False,
             single_mod=single_mod, baseline=baseline,
+            baseline_torch_init=baseline_torch_init,
         ))
     finally:
         wd.get_streams = orig
@@ -190,6 +192,13 @@ def main():
                         "458-524; TACA's flatten path :176-181, no-CAGrad/"
                         "no-DRW gating :150,527-532) against gaitpd's "
                         "weargait_driver with the same --baseline")
+    p.add_argument("--baseline_torch_init", action="store_true",
+                   help="attribution experiment: run gaitpd's DeepAV with "
+                        "the torch patch-embed init law (kaiming_uniform "
+                        "kernel + uniform bias) instead of the default "
+                        "lecun_normal + zero bias — isolates whether the "
+                        "relaxed-input mask-cell gap is the patch-embed "
+                        "init law (models/baselines.py::PatchEmbed1D)")
     p.add_argument("--single_mod", default=None,
                    choices=["walkway", "insole", "imu"],
                    help="race the single-modality sub-drivers (reference "
@@ -210,6 +219,7 @@ def main():
               "tie_free": ns.tie_free, "n_folds": ns.n_folds,
               "per_class": ns.per_class, "strength": ns.strength,
               "single_mod": ns.single_mod, "baseline": ns.baseline,
+              "baseline_torch_init": ns.baseline_torch_init,
               "seeds": {}}
     # seed-merge mode (r4): extend an existing report with new seeds instead
     # of rerunning everything in one invocation. Seeds are keyed per-seed so
@@ -218,7 +228,8 @@ def main():
     # defaults above) but warned about explicitly — don't assume silently
     # (ADVICE r4).
     config_keys = ("epochs", "async", "wm", "tie_free", "n_folds",
-                   "per_class", "strength", "single_mod", "baseline")
+                   "per_class", "strength", "single_mod", "baseline",
+                   "baseline_torch_init")
     out_path = Path(ns.out)
     if out_path.exists():
         prev = json.loads(out_path.read_text())
@@ -258,7 +269,8 @@ def main():
         print(f"=== seed {seed}: gaitpd ===", flush=True)
         ours = run_gaitpd(streams, pd_ids, hc_ids, seed, ns.epochs,
                           ns.n_folds, ns.per_class, ns.async_loading, ns.wm,
-                          single_mod=ns.single_mod, baseline=ns.baseline)
+                          single_mod=ns.single_mod, baseline=ns.baseline,
+                          baseline_torch_init=ns.baseline_torch_init)
         print(f"=== seed {seed}: torch reference ===", flush=True)
         with tempfile.TemporaryDirectory() as td:
             ref = run_reference(streams, pd_ids, hc_ids, seed, ns.epochs,

@@ -126,6 +126,52 @@ def test_deepav_lite3(sync):
     assert outs_t[0].shape == (B_, 2)
 
 
+def test_deepav_patch_embed_init_laws():
+    """Default = lecun_normal kernel + ZERO bias (a masked-out stream
+    tokenizes to LN's trained beta — see PatchEmbed1D docstring);
+    torch_init=True = the reference's Conv1d law, uniform(+-1/sqrt(fan_in))
+    for kernel AND bias (reference deepav.py:13 via torch defaults)."""
+    xs = _wg_inputs()
+    fan_in = 8 * xs[2].shape[-1]  # patch * in_dim of the imu tokenizer
+    bound = 1.0 / np.sqrt(fan_in)
+
+    m = B.DeepAVLite3(num_classes=2, synchronized=True)
+    conv = m.init(KEY, *xs)["params"]["core"]["tk_imu"]["Conv_0"]
+    assert np.all(np.asarray(conv["bias"]) == 0.0)
+    kstd = float(np.asarray(conv["kernel"]).std())
+    assert abs(kstd - bound) < 0.2 * bound  # lecun_normal: std == 1/sqrt(fan_in)
+
+    m = B.DeepAVLite3(num_classes=2, synchronized=True, torch_init=True)
+    conv = m.init(KEY, *xs)["params"]["core"]["tk_imu"]["Conv_0"]
+    for name in ("kernel", "bias"):
+        v = np.asarray(conv[name])
+        assert np.abs(v).max() <= bound + 1e-7
+        assert np.abs(v).max() > 0.9 * bound  # actually fills the range
+        assert abs(v.std() - bound / np.sqrt(3)) < 0.15 * bound
+
+
+def test_deepav_masked_stream_tokenizes_to_ln_bias():
+    """With the default init law, a zero-filled (masked) stream's patch
+    tokens are exactly LayerNorm's bias (zero at init): conv(0)+0 bias = 0,
+    and LN maps an all-zero vector to beta. This is the mechanism behind
+    the relaxed-input advantage measured in PARITY.md round 5."""
+    from gaitpd.models.baselines import PatchEmbed1D
+
+    pe = PatchEmbed1D(embed_dim=16, patch=8, stride=8)
+    x = jnp.zeros((2, 64, 24))
+    p = pe.init(KEY, x)
+    out = pe.apply(p, x)
+    beta = p["params"]["LayerNorm_0"]["bias"]
+    assert np.allclose(np.asarray(out), np.asarray(beta), atol=1e-6)
+
+    pe_t = PatchEmbed1D(embed_dim=16, patch=8, stride=8, torch_init=True)
+    p_t = pe_t.init(KEY, x)
+    out_t = pe_t.apply(p_t, x)
+    # torch law: random per-channel conv bias -> LN variance-normalizes it
+    # into a unit-scale garbage token instead
+    assert float(np.abs(np.asarray(out_t)).max()) > 0.5
+
+
 @pytest.mark.parametrize("sync", [False, True])
 def test_focal_2mod(sync):
     m = B.FOCALSharedLatent(
