@@ -97,7 +97,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="shard batches over all devices (jax.sharding.Mesh DP)")
     p.add_argument("--aug_mirror_p", type=float, default=0.0,
                    help="train-time on-device augmentation: per-sample "
-                        "mirror-reflection probability (skeleton streams)")
+                        "mirror-reflection probability (skeleton streams). "
+                        "Mirroring swaps left/right joints — only enable "
+                        "when the discriminative signal is bilaterally "
+                        "symmetric; measured -3.2 points on a "
+                        "joint-asymmetric signal (scripts/aug_ablation.py)")
     p.add_argument("--aug_rot_deg", type=float, default=0.0,
                    help="train-time random 3-D rotation amplitude in "
                         "degrees (skeleton streams)")
