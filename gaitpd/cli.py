@@ -98,10 +98,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--aug_mirror_p", type=float, default=0.0,
                    help="train-time on-device augmentation: per-sample "
                         "mirror-reflection probability (skeleton streams). "
-                        "Mirroring swaps left/right joints — only enable "
-                        "when the discriminative signal is bilaterally "
-                        "symmetric; measured -3.2 points on a "
-                        "joint-asymmetric signal (scripts/aug_ablation.py)")
+                        "Negates the x coordinate and, on skeletons with "
+                        ">=17 joints (FBG/H36M), also swaps left/right "
+                        "joint pairs; 7-keypoint FoG poses get only the "
+                        "sign flip. Either way it is label-inconsistent "
+                        "unless the signal is bilaterally symmetric — "
+                        "measured -3.2 points on the laterally-asymmetric "
+                        "FoG per-joint signal, where the sign flip alone "
+                        "carries the cost (scripts/aug_ablation.py)")
     p.add_argument("--aug_rot_deg", type=float, default=0.0,
                    help="train-time random 3-D rotation amplitude in "
                         "degrees (skeleton streams)")
@@ -145,6 +149,11 @@ def build_parser() -> argparse.ArgumentParser:
 
 def run_fbg_fog(ns: argparse.Namespace):
     from gaitpd.train.fbg_fog_driver import FbgFogArgs, main
+
+    if ns.modality == "sensor" and (ns.aug_mirror_p > 0 or ns.aug_rot_deg > 0):
+        print("warning: --aug_mirror_p/--aug_rot_deg are skeleton-stream "
+              "transforms; --modality sensor ignores them "
+              "(only --aug_noise_std/--aug_axis_p apply)")
 
     args = FbgFogArgs(
         dataset=ns.dataset,

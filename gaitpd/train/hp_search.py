@@ -141,19 +141,7 @@ def run_weargait_hp_vmapped(args, grid: List[Dict[str, float]]) -> dict:
     f = h * nf  # instance axis: h-major, fold-minor
     stacked = stack_folds(datas * h)
 
-    aug_specs = aug_params = None
-    if getattr(args, "aug_noise_std", 0.0) > 0 or getattr(args, "aug_axis_p", 0.0) > 0:
-        from gaitpd.data.augment import AugmentSpec, make_aug_params
-
-        aug_specs = (
-            AugmentSpec(noise=args.aug_noise_std > 0,
-                        axis_mask=args.aug_axis_p > 0),
-        ) * 3
-        aug_params = tuple(
-            make_aug_params(noise_std=args.aug_noise_std,
-                            axis_p=args.aug_axis_p)
-            for _ in range(3)
-        )
+    aug_specs, aug_params = WD.weargait_aug_config(args)
     settings = StepSettings(
         n_streams=3, wm=args.wm, synchronized=sync_flag, gcl_m=args.gcl_m,
         gcl_s=args.gcl_s, noise_mul=args.noise_mul, drw_warmup=args.drw_warmup,
@@ -361,16 +349,17 @@ def _weargait_single_mod_hp_vmapped(args, grid: List[Dict[str, float]]) -> dict:
     f = h * nf
     stacked = stack_folds(datas * h)
 
+    aug_specs, aug_params = WD.weargait_aug_config(args, n_streams=1)
     settings = StepSettings(
         n_streams=1, wm=args.wm, synchronized=False,
         gcl_m=args.gcl_m, gcl_s=args.gcl_s, noise_mul=args.noise_mul,
-        drw_warmup=args.drw_warmup,
+        drw_warmup=args.drw_warmup, augment=aug_specs,
     )
     fold_ctxs = [
         make_loss_ctx(settings, [
             np.bincount(np.asarray(d.ys[0])[d.train_pool[:, 0]],
                         minlength=args.num_classes)
-        ])
+        ], aug_params=aug_params)
         for d in datas
     ]
     ctxs = []

@@ -250,6 +250,7 @@ def run_cv_vmapped(args):
         flagship_apply,
         get_streams,
         split_to_device,
+        weargait_aug_config,
     )
 
     if args.single_mod is not None:
@@ -276,19 +277,7 @@ def run_cv_vmapped(args):
     datas = [split_to_device(s, async_mode, args.seed) for s in splits]
     stacked = stack_folds(datas)
 
-    aug_specs = aug_params = None
-    if getattr(args, "aug_noise_std", 0.0) > 0 or getattr(args, "aug_axis_p", 0.0) > 0:
-        from gaitpd.data.augment import AugmentSpec, make_aug_params
-
-        aug_specs = (
-            AugmentSpec(noise=args.aug_noise_std > 0,
-                        axis_mask=args.aug_axis_p > 0),
-        ) * 3
-        aug_params = tuple(
-            make_aug_params(noise_std=args.aug_noise_std,
-                            axis_p=args.aug_axis_p)
-            for _ in range(3)
-        )
+    aug_specs, aug_params = weargait_aug_config(args)
     settings = StepSettings(
         n_streams=3, wm=args.wm, synchronized=sync_flag, gcl_m=args.gcl_m,
         gcl_s=args.gcl_s, noise_mul=args.noise_mul, drw_warmup=args.drw_warmup,
@@ -511,6 +500,7 @@ def _weargait_single_mod_vmapped(args):
         build_model,
         get_streams,
         split_to_device,
+        weargait_aug_config,
     )
 
     async_mode = args.async_loading
@@ -547,12 +537,14 @@ def _weargait_single_mod_vmapped(args):
                      minlength=args.num_classes)]
         for d in datas
     ]
+    aug_specs, aug_params = weargait_aug_config(args, n_streams=1)
     settings = StepSettings(
         n_streams=1, wm=args.wm, synchronized=False,
         gcl_m=args.gcl_m, gcl_s=args.gcl_s, noise_mul=args.noise_mul,
-        drw_warmup=args.drw_warmup,
+        drw_warmup=args.drw_warmup, augment=aug_specs,
     )
-    ctx = stack_ctx([make_loss_ctx(settings, c) for c in counts_per_fold])
+    ctx = stack_ctx([make_loss_ctx(settings, c, aug_params=aug_params)
+                     for c in counts_per_fold])
 
     model = build_model(args, not async_mode)
     apply_single = lambda v, x: model.apply(  # noqa: E731

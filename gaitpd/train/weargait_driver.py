@@ -47,6 +47,29 @@ MASK_COMBOS = {
 MODALITIES = ("walkway", "insole", "imu")
 
 
+def weargait_aug_config(args, n_streams: int = 3):
+    """Per-stream (AugmentSpec, params) for the WearGait sensor streams.
+
+    Only noise + axis-mask apply here (the spatial mirror/rotation
+    transforms are skeleton-only; the CLI warns them away for this
+    driver). Shared by the sequential fold runner, the vmapped CV
+    (vmap_cv.py) and the HP-vmap (hp_search.py) so the three paths can't
+    diverge; ``n_streams=1`` covers the --single_mod sub-drivers.
+    Returns (None, None) when every strength is zero."""
+    noise = getattr(args, "aug_noise_std", 0.0)
+    axis = getattr(args, "aug_axis_p", 0.0)
+    if noise <= 0 and axis <= 0:
+        return None, None
+    from gaitpd.data.augment import AugmentSpec, make_aug_params
+
+    specs = (AugmentSpec(noise=noise > 0, axis_mask=axis > 0),) * n_streams
+    params = tuple(
+        make_aug_params(noise_std=noise, axis_p=axis)
+        for _ in range(n_streams)
+    )
+    return specs, params
+
+
 @dataclasses.dataclass
 class WearGaitArgs:
     """CLI surface of the reference driver (weargait_train.py:648-691)."""
@@ -238,19 +261,7 @@ def run_fold(
         for k in range(3)
     ]
 
-    aug_specs = aug_params = None
-    if args.aug_noise_std > 0 or args.aug_axis_p > 0:
-        from gaitpd.data.augment import AugmentSpec, make_aug_params
-
-        aug_specs = (
-            AugmentSpec(noise=args.aug_noise_std > 0,
-                        axis_mask=args.aug_axis_p > 0),
-        ) * 3
-        aug_params = tuple(
-            make_aug_params(noise_std=args.aug_noise_std,
-                            axis_p=args.aug_axis_p)
-            for _ in range(3)
-        )
+    aug_specs, aug_params = weargait_aug_config(args)
     settings = StepSettings(
         n_streams=3,
         wm=args.wm,
@@ -404,12 +415,13 @@ def run_single_mod_fold(fi: int, split: WG.WearGaitSplit, args: WearGaitArgs):
         np.bincount(np.asarray(data.ys[0])[data.train_pool[:, 0]],
                     minlength=args.num_classes)
     ]
+    aug_specs, aug_params = weargait_aug_config(args, n_streams=1)
     settings = StepSettings(
         n_streams=1, wm=args.wm, synchronized=False,
         gcl_m=args.gcl_m, gcl_s=args.gcl_s, noise_mul=args.noise_mul,
-        drw_warmup=args.drw_warmup,
+        drw_warmup=args.drw_warmup, augment=aug_specs,
     )
-    ctx = make_loss_ctx(settings, counts)
+    ctx = make_loss_ctx(settings, counts, aug_params=aug_params)
     model = build_model(args, not async_mode)
     apply_single = lambda v, x: model.apply(  # noqa: E731
         v, x, args.single_mod, method=WearGaitThreeModal.forward_single

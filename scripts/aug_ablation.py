@@ -52,8 +52,11 @@ def main():
     p.add_argument("--strength", type=float, default=5.0)
     p.add_argument("--seeds", nargs="+", type=int, default=list(range(16)))
     p.add_argument("--mirror_p", type=float, default=AUG["mirror_p"],
-                   help="mirror swaps left/right H36M joints — label-"
-                        "inconsistent when the signal is joint-asymmetric")
+                   help="mirror negates x (and swaps left/right joint "
+                        "pairs only on >=17-joint skeletons; the 7-keypoint "
+                        "FoG poses measured here get just the sign flip) — "
+                        "label-inconsistent when the signal is laterally "
+                        "asymmetric")
     p.add_argument("--rot_deg", type=float, default=AUG["rot_deg"])
     p.add_argument("--noise_std", type=float, default=AUG["noise_std"])
     p.add_argument("--out", default="artifacts/parity/aug_ablation_report.json")

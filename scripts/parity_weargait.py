@@ -220,6 +220,7 @@ def main():
               "per_class": ns.per_class, "strength": ns.strength,
               "single_mod": ns.single_mod, "baseline": ns.baseline,
               "baseline_torch_init": ns.baseline_torch_init,
+              "strength_effective": True,  # --strength reaches the generator
               "seeds": {}}
     # seed-merge mode (r4): extend an existing report with new seeds instead
     # of rerunning everything in one invocation. Seeds are keyed per-seed so
@@ -242,9 +243,12 @@ def main():
 
         def prev_val(k):
             v = prev.get(k, report[k])
-            if k == "strength" and v == 0.5:
-                # legacy reports recorded the then-unused flag default; the
-                # generator actually ran at its fixed 0.8
+            if (k == "strength" and v == 0.5
+                    and not prev.get("strength_effective")):
+                # legacy (pre-r5) reports recorded the then-unused flag
+                # default; the generator actually ran at its fixed 0.8.
+                # Post-fix reports carry strength_effective=True and a
+                # recorded 0.5 is a genuine 0.5 run — never normalize it.
                 return 0.8
             return v
 

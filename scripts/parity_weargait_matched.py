@@ -431,6 +431,7 @@ def main():
               "n_folds": ns.n_folds, "per_class": ns.per_class,
               "strength": ns.strength, "async_loading": ns.async_loading,
               "config": f"weargait_{mode}_{ns.wm} matched-init matched-order",
+              "strength_effective": True,  # --strength reaches the generator
               "seeds": {}}
     out_path = Path(ns.out)
     if out_path.exists():
@@ -438,8 +439,12 @@ def main():
 
         def prev_val(k):
             v = prev.get(k, False if k == "async_loading" else None)
-            if k == "strength" and v == 0.5:
-                return 0.8  # legacy recorded-but-unused flag default
+            if (k == "strength" and v == 0.5
+                    and not prev.get("strength_effective")):
+                # legacy recorded-but-unused flag default ran at 0.8; a
+                # post-fix report (strength_effective=True) recording 0.5
+                # genuinely ran at 0.5
+                return 0.8
             return v
 
         if all(prev_val(k) == report[k]

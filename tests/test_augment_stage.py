@@ -142,6 +142,33 @@ def test_strength_sweep_does_not_recompile():
     assert not np.allclose(losses[(0.5, 0.5)], losses[(0.0, 0.0)])
 
 
+def test_weargait_single_mod_augmentation(monkeypatch):
+    """--single_mod sub-driver (run_single_mod_fold) applies the sensor
+    augmentation stage too — same spy-based witness as the 3-stream test,
+    pinned after r5 wired weargait_aug_config into the n_streams=1 paths."""
+    import gaitpd.data.augment as A
+
+    calls = []
+    orig = A.augment_stream
+
+    def spy(x, key, spec, params):
+        calls.append(spec)
+        return orig(x, key, spec, params)
+
+    monkeypatch.setattr(A, "augment_stream", spy)
+
+    from gaitpd.train.weargait_driver import WearGaitArgs, run_cv
+
+    out = run_cv(WearGaitArgs(
+        n_folds=2, test_per_class=2, epochs=2, patience=50, wm="ce",
+        alpha=0.5, seed=0, synthetic=True, verbose=False, n_folds_cap=1,
+        single_mod="insole", aug_noise_std=0.3, aug_axis_p=0.3,
+    ))
+    assert np.isfinite(out["macro"][0])
+    assert calls and all(s.noise and s.axis_mask and s.joints is None
+                         for s in calls)
+
+
 @pytest.mark.parametrize("driver", ["weargait", "fbg_fog"])
 def test_driver_end_to_end_with_augmentation(driver, monkeypatch):
     """The CLI-reachable path: the aug flags reach the jitted train step
