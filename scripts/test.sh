@@ -1,5 +1,5 @@
 #!/usr/bin/env bash
-# CPU test runner (~18 min, 189 tests): skip the axon TPU registration handshake (the
+# CPU test runner (~18-35 min, 257 tests): skip the axon TPU registration handshake (the
 # sitecustomize hook registers a tunneled TPU backend that costs ~2min of
 # startup wall-clock) and run on an 8-virtual-device CPU mesh.
 set -e
